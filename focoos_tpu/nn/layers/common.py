@@ -1,0 +1,238 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+TPU-native re-design of the reference layer toolkit
+(focoos/nn/layers/{conv,base,norm,transformer}.py): convolutions run in NHWC
+(XLA's preferred TPU layout), BatchNorm statistics are computed over the
+*global* batch under pjit/GSPMD — which gives SyncBatchNorm semantics across
+the data mesh for free (the reference needs torch SyncBatchNorm conversion,
+focoos/trainer/trainer.py:334).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Activation registry (reference: focoos/nn/layers/base.py:get_activation_fn)."""
+    if name is None or name == "identity":
+        return lambda x: x
+    table = {
+        "relu": nn.relu,
+        "gelu": nn.gelu,
+        "silu": nn.silu,
+        "swish": nn.silu,
+        "glu": nn.glu,
+        "leaky_relu": nn.leaky_relu,
+        "sigmoid": nn.sigmoid,
+        "hardsigmoid": nn.hard_sigmoid,
+        "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
+    }
+    if name not in table:
+        raise ValueError(f"activation must be one of {sorted(table)}, not {name}")
+    return table[name]
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over NHWC / NLC feature axis.
+
+    ``frozen=True`` replicates the reference's FrozenBatchNorm2d
+    (focoos/nn/layers/norm.py:6): running stats are always used and never
+    updated. Under pjit, the train-mode batch reduction spans the full global
+    batch → cross-device synchronized statistics.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    frozen: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        use_running = (not train) or self.frozen
+        return nn.BatchNorm(
+            use_running_average=use_running,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+def get_norm(norm: Optional[str], dtype: Optional[Dtype] = None, num_groups: int = 32) -> Optional[nn.Module]:
+    """Norm-layer factory (reference: focoos/nn/layers/norm.py:209)."""
+    if norm is None or norm == "":
+        return None
+    if norm == "BN":
+        return BatchNorm(dtype=dtype)
+    if norm == "FrozenBN":
+        return BatchNorm(frozen=True, dtype=dtype)
+    if norm == "GN":
+        return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=dtype)
+    if norm == "LN":
+        return nn.LayerNorm(epsilon=1e-5, dtype=dtype)
+    raise ValueError(f"Unknown norm: {norm}")
+
+
+class ConvNorm(nn.Module):
+    """Conv2d + norm + activation (reference: focoos/nn/layers/conv.py:ConvNormLayer).
+
+    NHWC input; SAME-style padding computed as (k-1)//2 like the torch default.
+    """
+
+    ch_out: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Optional[int] = None
+    bias: bool = False
+    norm: Optional[str] = "BN"
+    act: Optional[str] = None
+    groups: int = 1
+    dilation: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k = self.kernel_size
+        pad = (k - 1) // 2 * self.dilation if self.padding is None else self.padding
+        x = nn.Conv(
+            features=self.ch_out,
+            kernel_size=(k, k),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=self.bias,
+            feature_group_count=self.groups,
+            kernel_dilation=(self.dilation, self.dilation),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        norm = get_norm(self.norm, dtype=self.dtype)
+        if norm is not None:
+            if isinstance(norm, BatchNorm):
+                x = norm(x, train=train)
+            else:
+                x = norm(x)
+        if self.act is not None:
+            x = get_activation(self.act)(x)
+        return x
+
+
+class MLP(nn.Module):
+    """Linear→ReLU→…→Linear stack (reference: focoos/nn/layers/base.py:MLP)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with merged qkv semantics matching torch's
+    ``nn.MultiheadAttention`` so pretrained in_proj weights port 1:1."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        e, h = self.embed_dim, self.num_heads
+        hd = e // h
+        q = nn.Dense(e, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(e, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(e, dtype=self.dtype, name="v_proj")(value)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], h, hd)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = hd**-0.5
+        logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
+        if attn_mask is not None:
+            logits = jnp.where(attn_mask, logits, jnp.finfo(logits.dtype).min)
+        weights = jnp.asarray(
+            nn.softmax(logits.astype(jnp.float32), axis=-1), dtype=q.dtype
+        )
+        out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
+        out = out.reshape(*out.shape[:-2], e)
+        return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer
+    (reference: focoos/nn/layers/transformer.py:553, normalize_before=False)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    activation: str = "relu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, src: jnp.ndarray, pos_embed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        q = src if pos_embed is None else src + pos_embed
+        attn = MultiHeadAttention(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")(q, q, src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
+        ffn = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        ffn = get_activation(self.activation)(ffn)
+        ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ffn)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + ffn)
+
+
+def sine_position_embedding_2d(
+    h: int,
+    w: int,
+    num_pos_feats: int,
+    temperature: float = 10000.0,
+    dtype: Dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Non-normalized 2-D sine position embedding → [H*W, 2*num_pos_feats].
+
+    Matches the reference's PositionEmbeddingSine with normalize=False
+    (focoos/models/fai_detr/modelling.py:110-179): concat order is
+    (sin(y), cos(y), sin(x), cos(x)), each interleave-sliced.
+    """
+    y = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+    x = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2.0 * jnp.floor(dim_t / 2.0) / num_pos_feats)
+    pos_x = x[:, :, None] / dim_t  # [H, W, F]
+    pos_y = y[:, :, None] / dim_t
+    out = jnp.concatenate(
+        [
+            jnp.sin(pos_y[:, :, 0::2]).reshape(h * w, -1),
+            jnp.cos(pos_y[:, :, 1::2]).reshape(h * w, -1),
+            jnp.sin(pos_x[:, :, 0::2]).reshape(h * w, -1),
+            jnp.cos(pos_x[:, :, 1::2]).reshape(h * w, -1),
+        ],
+        axis=-1,
+    )
+    return out.astype(dtype)
+
+
+def bilinear_resize(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """Bilinear NHWC resize with half-pixel centers (torch align_corners=False)."""
+    import jax
+
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
