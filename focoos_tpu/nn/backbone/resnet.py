@@ -156,3 +156,12 @@ class ResNet(BaseBackbone):
             f"res{i + 2}": ShapeSpec(channels=channels[i], stride=strides[i])
             for i in range(self.config.num_stages)
         }
+
+
+def _register_backbone():
+    from focoos_tpu.model_manager import BackboneManager
+
+    BackboneManager.register("resnet", ResnetConfig, ResNet)
+
+
+_register_backbone()

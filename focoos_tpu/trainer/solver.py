@@ -1,0 +1,198 @@
+"""Optimizer + LR-schedule construction (reference: focoos/trainer/solver/).
+
+The reference builds torch per-parameter groups by walking named_modules
+(solver/build.py:39-103); here the same policy is expressed as pure
+functions over pytree paths, composed into a single optax chain:
+
+    clip_by_global_norm → adam/sgd/rmsprop moments → per-leaf weight decay
+    → per-leaf LR multiplier → global schedule
+
+Everything is a jit-compatible GradientTransformation; schedules are plain
+``step -> lr`` functions (solver/lr_scheduler.py parity: POLY / MULTISTEP /
+COSINE / FIXED, each with linear warmup).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from focoos_tpu.ports import TrainerArgs
+
+# ---------------------------------------------------------------------------
+# schedules
+# ---------------------------------------------------------------------------
+
+
+def _warmup_factor(step: jnp.ndarray, warmup_iters: int, warmup_factor: float) -> jnp.ndarray:
+    """Linear warmup (reference: solver/lr_scheduler.py:_get_warmup_factor_at_iter)."""
+    if warmup_iters <= 0:
+        return jnp.ones_like(step, jnp.float32)
+    alpha = jnp.clip(step.astype(jnp.float32) / warmup_iters, 0.0, 1.0)
+    return jnp.where(step >= warmup_iters, 1.0, warmup_factor * (1 - alpha) + alpha)
+
+
+def build_schedule(
+    name: str,
+    base_lr: float,
+    max_iters: int,
+    extra: Optional[dict] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    extra = dict(extra or {})
+    warmup_iters = int(extra.pop("warmup_iters", 0))
+    warmup_factor = float(extra.pop("warmup_factor", 1.0))
+    extra.pop("warmup_method", None)
+    name = name.upper()
+
+    if name == "FIXED":
+
+        def sched(step):
+            return base_lr * _warmup_factor(step, warmup_iters, warmup_factor)
+
+    elif name == "POLY":
+        power = float(extra.pop("power", 0.9))
+        constant_ending = float(extra.pop("constant_ending", 0.0))
+
+        def sched(step):
+            w = _warmup_factor(step, warmup_iters, warmup_factor)
+            frac = jnp.power(1.0 - step.astype(jnp.float32) / max_iters, power)
+            if constant_ending > 0:
+                frac = jnp.maximum(frac, constant_ending)
+            return base_lr * w * frac
+
+    elif name == "MULTISTEP":
+        milestones = [int(m * max_iters) for m in extra.pop("milestones", [0.5, 0.75])]
+        gamma = float(extra.pop("gamma", 0.1))
+
+        def sched(step):
+            w = _warmup_factor(step, warmup_iters, warmup_factor)
+            k = sum(jnp.where(step >= m, 1.0, 0.0) for m in milestones)
+            return base_lr * w * jnp.power(gamma, k)
+
+    elif name == "COSINE":
+
+        def sched(step):
+            w = _warmup_factor(step, warmup_iters, warmup_factor)
+            return base_lr * w * 0.5 * (1.0 + jnp.cos(jnp.pi * step.astype(jnp.float32) / max_iters))
+
+    else:
+        raise NotImplementedError(f"Scheduler {name} not supported (POLY/FIXED/COSINE/MULTISTEP)")
+
+    return sched
+
+
+# ---------------------------------------------------------------------------
+# per-leaf hyperparameter policy
+# ---------------------------------------------------------------------------
+
+
+def _path_str(path: Tuple) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path).lower()
+
+
+def leaf_hyperparams(
+    params: Any,
+    base_wd: float,
+    wd_norm: float = 0.0,
+    wd_embed: float = 0.0,
+    backbone_multiplier: float = 0.1,
+    decoder_multiplier: float = 1.0,
+    head_multiplier: float = 1.0,
+) -> Tuple[Any, Any]:
+    """→ (lr_mult_tree, wd_tree) following the reference policy
+    (solver/build.py:81-101): substring matches on the parameter path."""
+
+    def mult(path, leaf):
+        p = _path_str(path)
+        m = 1.0
+        if "backbone" in p:
+            m *= backbone_multiplier
+        elif "pixel_decoder" in p:
+            m *= decoder_multiplier
+        if "head" in p and "classifier" not in p:
+            m *= head_multiplier
+        return jnp.asarray(m, jnp.float32)
+
+    def wd(path, leaf):
+        p = _path_str(path)
+        if "/bn/" in p or p.endswith("/bn") or "norm" in p:
+            return jnp.asarray(wd_norm, jnp.float32)
+        if "embed" in p:
+            return jnp.asarray(wd_embed, jnp.float32)
+        zeroed = ("backbone" in p and backbone_multiplier == 0) or (
+            "head" in p and "classifier" not in p and head_multiplier == 0
+        )
+        return jnp.asarray(0.0 if zeroed else base_wd, jnp.float32)
+
+    lr_tree = jax.tree_util.tree_map_with_path(mult, params)
+    wd_tree = jax.tree_util.tree_map_with_path(wd, params)
+    return lr_tree, wd_tree
+
+
+def _per_leaf_weight_decay(wd_tree: Any) -> optax.GradientTransformation:
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        assert params is not None
+        updates = jax.tree.map(lambda u, p, w: u + w * p, updates, params, wd_tree)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _per_leaf_scale(mult_tree: Any) -> optax.GradientTransformation:
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        updates = jax.tree.map(lambda u, m: u * m, updates, mult_tree)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(params: Any, args: TrainerArgs) -> Tuple[optax.GradientTransformation, Callable]:
+    """→ (tx, schedule_fn). Mirrors reference build_optimizer + LRScheduler hook."""
+    schedule = build_schedule(args.scheduler, args.learning_rate, args.max_iters, args.scheduler_extra)
+    lr_tree, wd_tree = leaf_hyperparams(
+        params,
+        base_wd=args.weight_decay,
+        wd_norm=args.weight_decay_norm,
+        wd_embed=args.weight_decay_embed,
+        backbone_multiplier=args.backbone_multiplier,
+        decoder_multiplier=args.decoder_multiplier,
+        head_multiplier=args.head_multiplier,
+    )
+    extra = dict(args.optimizer_extra or {})
+    name = args.optimizer.upper()
+    if name == "ADAMW":
+        core = optax.scale_by_adam(b1=extra.get("betas", (0.9, 0.999))[0], b2=extra.get("betas", (0.9, 0.999))[1])
+    elif name == "SGD":
+        core = optax.trace(decay=extra.get("momentum", 0.9), nesterov=extra.get("nesterov", False))
+    elif name == "RMSPROP":
+        core = optax.scale_by_rms(decay=extra.get("alpha", 0.99))
+    else:
+        raise NotImplementedError(f"Optimizer {name} not supported (ADAMW/SGD/RMSPROP)")
+
+    chain = []
+    if args.clip_gradients and args.clip_gradients > 0:
+        chain.append(optax.clip_by_global_norm(args.clip_gradients))
+    chain.append(core)
+    chain.append(_per_leaf_weight_decay(wd_tree))
+    chain.append(_per_leaf_scale(lr_tree))
+    chain.append(optax.scale_by_schedule(lambda step: -schedule(step)))
+    return optax.chain(*chain), schedule
+
+
+def ema_decay_schedule(decay: float, warmup: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """EMA decay ramp (reference: solver/ema.py:90 EMAUpdater warmup)."""
+
+    def fn(step):
+        s = step.astype(jnp.float32)
+        return jnp.minimum(decay, (1.0 + s) / (jnp.asarray(float(max(warmup, 1))) + s))
+
+    return fn

@@ -1,0 +1,98 @@
+"""The jitted training step — the TPU analog of TrainerLoop.run_step
+(focoos/trainer/trainer.py:723-773).
+
+One ``train_step`` call = forward (bf16 optional) + criterion + backward +
+global-norm clip + optimizer update + EMA, compiled into a single XLA
+program over the data mesh. Gradient averaging across devices is implicit:
+the loss is a mean over the *global* batch, so GSPMD inserts the psum — no
+DDP wrapper, no GradScaler (bf16 needs no loss scaling).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def create_train_state(
+    variables: Dict[str, Any],
+    tx: optax.GradientTransformation,
+    ema_enabled: bool = False,
+) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if ema_enabled else None,
+    )
+
+
+def build_train_step(
+    loss_fn: Callable,  # (variables, batch, rng) -> (total_loss, (metrics, new_model_state))
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    ema_decay_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    donate: bool = True,
+):
+    """Compile a full train step.
+
+    ``loss_fn`` must be pure and already close over the module/criterion; it
+    receives ``variables = {"params", "batch_stats"}`` and the sharded batch.
+    """
+
+    def step_fn(state: TrainState, batch: Any, rng: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def wrapped(params):
+            v = {"params": params, "batch_stats": state.batch_stats}
+            total, (metrics, new_model_state) = loss_fn(v, batch, rng)
+            return total, (metrics, new_model_state)
+
+        (total, (metrics, new_model_state)), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_decay_fn is not None:
+            d = ema_decay_fn(state.step)
+            new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d), state.ema_params, new_params)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+        metrics = dict(metrics)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
