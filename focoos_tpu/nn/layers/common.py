@@ -64,18 +64,20 @@ class BatchNorm(nn.Module):
         )(x)
 
 
-def get_norm(norm: Optional[str], dtype: Optional[Dtype] = None, num_groups: int = 32) -> Optional[nn.Module]:
+def get_norm(
+    norm: Optional[str], dtype: Optional[Dtype] = None, num_groups: int = 32, name: str = "norm"
+) -> Optional[nn.Module]:
     """Norm-layer factory (reference: focoos/nn/layers/norm.py:209)."""
     if norm is None or norm == "":
         return None
     if norm == "BN":
-        return BatchNorm(dtype=dtype)
+        return BatchNorm(dtype=dtype, name=name)
     if norm == "FrozenBN":
-        return BatchNorm(frozen=True, dtype=dtype)
+        return BatchNorm(frozen=True, dtype=dtype, name=name)
     if norm == "GN":
-        return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=dtype)
+        return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=dtype, name=name)
     if norm == "LN":
-        return nn.LayerNorm(epsilon=1e-5, dtype=dtype)
+        return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
     raise ValueError(f"Unknown norm: {norm}")
 
 

@@ -1,0 +1,247 @@
+"""torch state_dict → focoos_tpu variables converter.
+
+This is the weight-porting lever (SURVEY.md §7 hard-part 3): pretrained
+reference checkpoints (``model_final.pth``) are mapped to our param pytree by
+deterministic name rules — convs transpose OIHW→HWIO (NHWC layout), linears
+transpose [out,in]→[in,out], torch ``nn.MultiheadAttention`` in_proj tensors
+split into q/k/v kernels, BatchNorm running stats land in ``batch_stats``.
+
+Works on raw numpy state dicts — torch itself is only needed to *read* a
+.pth file (tools/convert_torch_weights.py does that part).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from focoos_tpu.utils.checkpoint import unflatten_tree
+
+# transform kinds
+def _conv(w):  # OIHW → HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _linear(w):  # [out, in] → [in, out]
+    return np.transpose(w)
+
+
+def _id(w):
+    return w
+
+
+Rule = Tuple[str, str, Callable]  # (regex on torch key, '/'-template with \1.., transform)
+
+
+def _bn_rules(torch_prefix: str, jax_prefix: str) -> List[Rule]:
+    """BatchNorm param+stat mapping for a ConvNorm-style `norm` submodule."""
+    return [
+        (rf"{torch_prefix}\.weight$", f"params/{jax_prefix}/scale", _id),
+        (rf"{torch_prefix}\.bias$", f"params/{jax_prefix}/bias", _id),
+        (rf"{torch_prefix}\.running_mean$", f"batch_stats/{jax_prefix}/mean", _id),
+        (rf"{torch_prefix}\.running_var$", f"batch_stats/{jax_prefix}/var", _id),
+    ]
+
+
+def apply_rules(state: Dict[str, np.ndarray], rules: List[Rule]) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    out: Dict[str, np.ndarray] = {}
+    unmatched: List[str] = []
+    for key, val in state.items():
+        if key.endswith("num_batches_tracked") or key in ("pixel_mean", "pixel_std"):
+            continue
+        if "criterion" in key:
+            continue
+        hit = False
+        for pat, template, tf in rules:
+            m = re.fullmatch(pat, key)
+            if m:
+                path = template
+                for gi, g in enumerate(m.groups(), start=1):
+                    path = path.replace(f"\\{gi}", g if g is not None else "")
+                out[path] = tf(np.asarray(val))
+                hit = True
+                break
+        if not hit:
+            unmatched.append(key)
+    return out, unmatched
+
+
+def expand_mha(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Split torch MultiheadAttention merged in_proj into q/k/v projections."""
+    out = {}
+    for key, val in flat.items():
+        if key.endswith("@in_proj_weight"):
+            base = key[: -len("@in_proj_weight")]
+            e = val.shape[1]
+            out[f"{base}/q_proj/kernel"] = _linear(val[:e])
+            out[f"{base}/k_proj/kernel"] = _linear(val[e : 2 * e])
+            out[f"{base}/v_proj/kernel"] = _linear(val[2 * e :])
+        elif key.endswith("@in_proj_bias"):
+            base = key[: -len("@in_proj_bias")]
+            e = val.shape[0] // 3
+            out[f"{base}/q_proj/bias"] = val[:e]
+            out[f"{base}/k_proj/bias"] = val[e : 2 * e]
+            out[f"{base}/v_proj/bias"] = val[2 * e :]
+        else:
+            out[key] = val
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shared sub-blocks
+# ---------------------------------------------------------------------------
+
+
+def convnorm_rules(tp: str, jp: str) -> List[Rule]:
+    """ConvNormLayer: tp.conv/.norm → jp/conv/kernel + jp/norm/bn/*."""
+    return [
+        (rf"{tp}\.conv\.weight", f"params/{jp}/conv/kernel", _conv),
+        (rf"{tp}\.conv\.bias", f"params/{jp}/conv/bias", _id),
+        *_bn_rules(rf"{tp}\.norm", f"{jp}/norm/bn"),
+    ]
+
+
+def mha_rules(tp: str, jp: str) -> List[Rule]:
+    return [
+        (rf"{tp}\.in_proj_weight", f"{jp}@in_proj_weight", _id),
+        (rf"{tp}\.in_proj_bias", f"{jp}@in_proj_bias", _id),
+        (rf"{tp}\.out_proj\.weight", f"{jp}/out_proj/kernel", _linear),
+        (rf"{tp}\.out_proj\.bias", f"{jp}/out_proj/bias", _id),
+    ]
+
+
+def dense_rules(tp: str, jp: str) -> List[Rule]:
+    return [
+        (rf"{tp}\.weight", f"params/{jp}/kernel", _linear),
+        (rf"{tp}\.bias", f"params/{jp}/bias", _id),
+    ]
+
+
+def ln_rules(tp: str, jp: str) -> List[Rule]:
+    return [
+        (rf"{tp}\.weight", f"params/{jp}/scale", _id),
+        (rf"{tp}\.bias", f"params/{jp}/bias", _id),
+    ]
+
+
+def resnet_rules(tp: str = r"backbone", jp: str = "backbone") -> List[Rule]:
+    """ResNet (focoos layout) → focoos_tpu ResNet paths.
+
+    torch: conv1.conv1_1.*, res_layers.{i}.blocks.{j}.branch2x / short /
+    short.conv (variant-d Sequential(pool, ConvNormLayer)).
+    """
+    rules: List[Rule] = []
+    rules += convnorm_rules(rf"{tp}\.conv1\.(conv1_\d)", rf"{jp}/\1")
+
+    def stage_sub(m_expr: str) -> str:
+        return m_expr  # placeholder for clarity
+
+    # res_layers.i.blocks.j → res{i+2}_block{j}: regex can't add, enumerate stages
+    for i in range(4):
+        base_t = rf"{tp}\.res_layers\.{i}\.blocks\.(\d+)"
+        base_j = rf"{jp}/res{i + 2}_block\1"
+        for br in ("branch2a", "branch2b", "branch2c"):
+            rules += convnorm_rules(rf"{base_t}\.{br}", rf"{base_j}/{br}")
+        # variant-d downsample shortcut: Sequential(pool, conv=ConvNormLayer)
+        rules += convnorm_rules(rf"{base_t}\.short\.conv", rf"{base_j}/short_conv")
+        # plain shortcut
+        rules += convnorm_rules(rf"{base_t}\.short", rf"{base_j}/short")
+    return rules
+
+
+def transformer_encoder_layer_rules(tp: str, jp: str) -> List[Rule]:
+    return [
+        *mha_rules(rf"{tp}\.self_attn", f"params/{jp}/self_attn"),
+        *dense_rules(rf"{tp}\.linear1", f"{jp}/linear1"),
+        *dense_rules(rf"{tp}\.linear2", f"{jp}/linear2"),
+        *ln_rules(rf"{tp}\.norm1", f"{jp}/norm1"),
+        *ln_rules(rf"{tp}\.norm2", f"{jp}/norm2"),
+    ]
+
+
+def csprep_rules(tp: str, jp: str) -> List[Rule]:
+    rules = []
+    for c in ("conv1", "conv2", "conv3"):
+        rules += convnorm_rules(rf"{tp}\.{c}", rf"{jp}/{c}")
+    # group number of the bottleneck index depends on how many groups tp has
+    g = re.compile(tp).groups + 1
+    rules += convnorm_rules(rf"{tp}\.bottlenecks\.(\d+)\.conv1", rf"{jp}/bottlenecks_\{g}/conv1")
+    rules += convnorm_rules(rf"{tp}\.bottlenecks\.(\d+)\.conv2", rf"{jp}/bottlenecks_\{g}/conv2")
+    return rules
+
+
+# ---------------------------------------------------------------------------
+# fai_detr
+# ---------------------------------------------------------------------------
+
+
+def fai_detr_rules() -> List[Rule]:
+    rules: List[Rule] = []
+    pd_t, pd_j = r"pixel_decoder", "pixel_decoder"
+    # the backbone module is an attribute of FAIDetr shared into the encoder,
+    # so flax scopes its params at the top level ("backbone/...")
+    rules += resnet_rules(rf"{pd_t}\.backbone", "backbone")
+
+    # channel projection: Sequential(conv, bn)
+    rules += [
+        (rf"{pd_t}\.input_proj\.(\d+)\.0\.weight", rf"params/{pd_j}/input_proj_\1_conv/kernel", _conv),
+        *_bn_rules(rf"{pd_t}\.input_proj\.(\d+)\.1", rf"{pd_j}/input_proj_\1_bn"),
+    ]
+    rules += transformer_encoder_layer_rules(
+        rf"{pd_t}\.encoder\.(\d+)\.layers\.(\d+)", rf"{pd_j}/encoder_\1_layers_\2"
+    )
+    rules += convnorm_rules(rf"{pd_t}\.lateral_convs\.(\d+)", rf"{pd_j}/lateral_convs_\1")
+    rules += csprep_rules(rf"{pd_t}\.fpn_blocks\.(\d+)", rf"{pd_j}/fpn_blocks_\1")
+    rules += convnorm_rules(rf"{pd_t}\.downsample_convs\.(\d+)", rf"{pd_j}/downsample_convs_\1")
+    rules += csprep_rules(rf"{pd_t}\.pan_blocks\.(\d+)", rf"{pd_j}/pan_blocks_\1")
+    rules += [
+        (rf"{pd_t}\.mask_features\.weight", f"params/{pd_j}/mask_features/kernel", _conv),
+        (rf"{pd_t}\.mask_features\.bias", f"params/{pd_j}/mask_features/bias", _id),
+    ]
+
+    pr_t, pr_j = r"head\.predictor", "predictor"
+    rules += [
+        (rf"{pr_t}\.input_proj\.(\d+)\.conv\.weight", rf"params/{pr_j}/input_proj_\1_conv/kernel", _conv),
+        *_bn_rules(rf"{pr_t}\.input_proj\.(\d+)\.norm", rf"{pr_j}/input_proj_\1_bn"),
+    ]
+    dl_t = rf"{pr_t}\.decoder\.layers\.(\d+)"
+    dl_j = rf"{pr_j}/decoder_layers_\1"
+    rules += mha_rules(rf"{dl_t}\.self_attn", rf"params/{dl_j}/self_attn")
+    for sub in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+        rules += dense_rules(rf"{dl_t}\.cross_attn\.{sub}", rf"{dl_j}/cross_attn/{sub}")
+    rules += dense_rules(rf"{dl_t}\.linear1", rf"{dl_j}/linear1")
+    rules += dense_rules(rf"{dl_t}\.linear2", rf"{dl_j}/linear2")
+    for n in ("norm1", "norm2", "norm3"):
+        rules += ln_rules(rf"{dl_t}\.{n}", rf"{dl_j}/{n}")
+
+    rules += dense_rules(rf"{pr_t}\.query_pos_head\.layers\.(\d+)", rf"{pr_j}/query_pos_head/layers_\1")
+    rules += dense_rules(rf"{pr_t}\.enc_output\.0", f"{pr_j}/enc_output_0")
+    rules += ln_rules(rf"{pr_t}\.enc_output\.1", f"{pr_j}/enc_output_1")
+    rules += dense_rules(rf"{pr_t}\.enc_score_classifier", f"{pr_j}/enc_score_classifier")
+    rules += dense_rules(rf"{pr_t}\.enc_bbox_classifier\.layers\.(\d+)", rf"{pr_j}/enc_bbox_classifier/layers_\1")
+    rules += dense_rules(rf"{pr_t}\.dec_score_classifier\.(\d+)", rf"{pr_j}/dec_score_classifier_\1")
+    rules += dense_rules(
+        rf"{pr_t}\.dec_bbox_classifier\.(\d+)\.layers\.(\d+)", rf"{pr_j}/dec_bbox_classifier_\1/layers_\2"
+    )
+    return rules
+
+
+FAMILY_RULES: Dict[str, Callable[[], List[Rule]]] = {
+    "fai_detr": fai_detr_rules,
+}
+
+
+def convert_state_dict(
+    state: Dict[str, np.ndarray], family: str, verbose: bool = True
+) -> Tuple[Dict[str, Any], List[str]]:
+    """→ (variables {params, batch_stats}, unmatched torch keys)."""
+    rules = FAMILY_RULES[family]()
+    flat, unmatched = apply_rules(state, rules)
+    flat = expand_mha(flat)
+    if verbose and unmatched:
+        from focoos_tpu.utils.logger import get_logger
+
+        get_logger(__name__).warning(f"{len(unmatched)} torch keys unmatched, e.g. {unmatched[:5]}")
+    return unflatten_tree(flat), unmatched
