@@ -151,6 +151,38 @@ def resnet_rules(tp: str = r"backbone", jp: str = "backbone") -> List[Rule]:
     return rules
 
 
+def _convx_rules(tp: str, jp: str) -> List[Rule]:
+    """STDC ConvX: conv + bn."""
+    return [
+        (rf"{tp}\.conv\.weight", f"params/{jp}/conv/kernel", _conv),
+        *_bn_rules(rf"{tp}\.bn", f"{jp}/bn"),
+    ]
+
+
+def stdc_rules(tp: str, jp: str) -> List[Rule]:
+    """STDC (focoos layout) → focoos_tpu STDC paths.
+
+    torch: features.{i} is ConvX (stem) or Cat/AddBottleneck with
+    conv_list.{j}, avd_layer.{0,1}, skip.{0..3}.
+    """
+    g = re.compile(tp).groups + 1
+    rules: List[Rule] = []
+    base_t = rf"{tp}\.features\.(\d+)"
+    base_j = rf"{jp}/features_\{g}"
+    rules += _convx_rules(base_t, base_j)  # stem ConvX
+    rules += _convx_rules(rf"{base_t}\.conv_list\.(\d+)", rf"{base_j}/conv_list_\{g + 1}")
+    rules += [
+        (rf"{base_t}\.avd_layer\.0\.weight", rf"params/{base_j}/avd_conv/kernel", _conv),
+        *_bn_rules(rf"{base_t}\.avd_layer\.1", rf"{base_j}/avd_bn"),
+        # AddBottleneck skip: Sequential(dw conv, bn, pw conv, bn)
+        (rf"{base_t}\.skip\.0\.weight", rf"params/{base_j}/skip_dw/kernel", _conv),
+        *_bn_rules(rf"{base_t}\.skip\.1", rf"{base_j}/skip_dw_bn"),
+        (rf"{base_t}\.skip\.2\.weight", rf"params/{base_j}/skip_pw/kernel", _conv),
+        *_bn_rules(rf"{base_t}\.skip\.3", rf"{base_j}/skip_pw_bn"),
+    ]
+    return rules
+
+
 def transformer_encoder_layer_rules(tp: str, jp: str) -> List[Rule]:
     return [
         *mha_rules(rf"{tp}\.self_attn", f"params/{jp}/self_attn"),
@@ -172,6 +204,11 @@ def csprep_rules(tp: str, jp: str) -> List[Rule]:
     return rules
 
 
+def backbone_rules(tp: str, jp: str) -> List[Rule]:
+    """All-backbone rule union — name patterns are disjoint across backbones."""
+    return resnet_rules(tp, jp) + stdc_rules(tp, jp)
+
+
 # ---------------------------------------------------------------------------
 # fai_detr
 # ---------------------------------------------------------------------------
@@ -182,7 +219,7 @@ def fai_detr_rules() -> List[Rule]:
     pd_t, pd_j = r"pixel_decoder", "pixel_decoder"
     # the backbone module is an attribute of FAIDetr shared into the encoder,
     # so flax scopes its params at the top level ("backbone/...")
-    rules += resnet_rules(rf"{pd_t}\.backbone", "backbone")
+    rules += backbone_rules(rf"{pd_t}\.backbone", "backbone")
 
     # channel projection: Sequential(conv, bn)
     rules += [
@@ -228,8 +265,24 @@ def fai_detr_rules() -> List[Rule]:
     return rules
 
 
+def fai_cls_rules() -> List[Rule]:
+    rules = backbone_rules(r"backbone", "backbone")
+    # head: Sequential indices → fc1/fc2 (1-layer head conv at idx 2;
+    # 2-layer head convs at idx 1 and 4)
+    rules += [
+        (r"cls_head\.classifier\.2\.weight", "params/cls_head/fc1/kernel", _conv),
+        (r"cls_head\.classifier\.2\.bias", "params/cls_head/fc1/bias", _id),
+        (r"cls_head\.classifier\.1\.weight", "params/cls_head/fc1/kernel", _conv),
+        (r"cls_head\.classifier\.1\.bias", "params/cls_head/fc1/bias", _id),
+        (r"cls_head\.classifier\.4\.weight", "params/cls_head/fc2/kernel", _conv),
+        (r"cls_head\.classifier\.4\.bias", "params/cls_head/fc2/bias", _id),
+    ]
+    return rules
+
+
 FAMILY_RULES: Dict[str, Callable[[], List[Rule]]] = {
     "fai_detr": fai_detr_rules,
+    "fai_cls": fai_cls_rules,
 }
 
 

@@ -1,15 +1,9 @@
-"""Numerical parity check: focoos_tpu FAIDetr vs the reference torch FAIDetr.
+"""Import-compat shims to load the reference torch package in this image.
 
-Builds the torch reference model (random init), converts its state_dict with
-focoos_tpu.utils.torch_convert, runs both on the same input, and compares
-outputs. This validates the architecture re-derivation + weight converter
-end to end without needing network access to pretrained weights.
-
-Dev-only: imports /root/reference (not shipped; the package itself never
-depends on it).
-
-Run: python tools/parity_fai_detr.py
-"""
+The reference depends on packages absent here (pydantic_settings, pycocotools,
+torchvision, fvcore, orjson, supervision, ...). These stubs provide just
+enough surface to import and run the reference *model* code for parity
+testing. Dev-only."""
 
 import sys
 import types
@@ -164,90 +158,14 @@ def _fix_specs():
                 pass
 
 
-def main():
-    import jax
 
-    jax.config.update("jax_platforms", "cpu")
 
-    sys.path.insert(0, "/root/repo")
+def install():
     _stub_missing_modules()
     _fix_specs()
     import importlib.metadata as _md
 
     _orig_version = _md.version
     _md.version = lambda name: "0.25.0" if name == "focoos" else _orig_version(name)
-    sys.path.insert(0, "/root/reference")
-
-    import torch
-
-    torch.manual_seed(0)
-
-    from focoos.models.fai_detr.config import DETRConfig as TorchDETRConfig
-    from focoos.models.fai_detr.modelling import FAIDetr as TorchFAIDetr
-    from focoos.nn.backbone.resnet import ResnetConfig as TorchResnetConfig
-
-    tb = TorchResnetConfig(depth=18, variant="d", freeze_norm=False, use_pretrained=False, pretrained=False)
-    tcfg = TorchDETRConfig(
-        num_classes=13,
-        backbone_config=tb,
-        num_queries=50,
-        transformer_predictor_dec_layers=3,
-    )
-    tmodel = TorchFAIDetr(tcfg).eval()
-    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
-
-    # --- build jax twin
-    from focoos_tpu.models.fai_detr.config import DETRConfig
-    from focoos_tpu.models.fai_detr.modelling import FAIDetr
-    from focoos_tpu.nn.backbone.resnet import ResNet, ResnetConfig
-    from focoos_tpu.utils.checkpoint import merge_compatible
-    from focoos_tpu.utils.torch_convert import convert_state_dict
-
-    bcfg = ResnetConfig(depth=18, variant="d", freeze_norm=False, use_pretrained=False)
-    cfg = DETRConfig(num_classes=13, backbone_config=bcfg, num_queries=50, transformer_predictor_dec_layers=3)
-    module = FAIDetr(config=cfg, backbone=ResNet(config=bcfg))
-
-    import jax.numpy as jnp
-
-    h = w = 256
-    x_np = np.random.default_rng(0).integers(0, 255, (2, h, w, 3)).astype(np.float32)
-    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x_np), train=False)
-
-    converted, unmatched = convert_state_dict(state, "fai_detr")
-    if unmatched:
-        print(f"UNMATCHED torch keys ({len(unmatched)}):")
-        for k in unmatched[:20]:
-            print("   ", k)
-
-    merged, skipped, missing = merge_compatible(dict(variables), converted)
-    if skipped:
-        print(f"SHAPE-MISMATCHED ({len(skipped)}):")
-        for k in skipped[:20]:
-            print("   ", k)
-    if missing:
-        print(f"MISSING in converted ({len(missing)}):")
-        for k in missing[:20]:
-            print("   ", k)
-
-    # --- forward both
-    out_j, _ = module.apply(merged, jnp.asarray(x_np), train=False)
-    boxes_j = np.asarray(out_j.boxes)
-    logits_j = np.asarray(out_j.logits)
-
-    with torch.no_grad():
-        x_t = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
-        out_t = tmodel(x_t)
-    boxes_t = out_t.boxes.numpy()
-    logits_t = out_t.logits.numpy()
-
-    db = np.abs(boxes_j - boxes_t)
-    dl = np.abs(logits_j - logits_t)
-    print(f"boxes:  max|Δ|={db.max():.2e} mean|Δ|={db.mean():.2e}")
-    print(f"logits: max|Δ|={dl.max():.2e} mean|Δ|={dl.mean():.2e}")
-    ok = db.max() < 2e-3 and dl.max() < 2e-3
-    print("PARITY:", "PASS" if ok else "FAIL")
-    return 0 if ok else 1
-
-
-if __name__ == "__main__":
-    sys.exit(main())
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")

@@ -1,0 +1,196 @@
+"""Numerical parity harness: focoos_tpu models vs the reference torch models.
+
+Builds the torch reference model (random init), converts its state_dict via
+focoos_tpu.utils.torch_convert, runs both on the same input, compares
+outputs. Validates architecture re-derivation + weight converter without
+needing pretrained downloads. Dev-only (imports /root/reference).
+
+Usage:
+    python tools/parity.py fai_detr [resnet|stdc]
+    python tools/parity.py fai_cls  [resnet|stdc]
+    python tools/parity.py bisenetformer [stdc|resnet]
+    python tools/parity.py fai_mf  [resnet|stdc]
+    python tools/parity.py rtmo
+    python tools/parity.py all
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_torch_backbone_cfg(kind: str):
+    if kind == "resnet":
+        from focoos.nn.backbone.resnet import ResnetConfig
+
+        return ResnetConfig(depth=18, variant="d", freeze_norm=False, use_pretrained=False, pretrained=False)
+    if kind == "stdc":
+        from focoos.nn.backbone.stdc import STDCConfig
+
+        return STDCConfig(size="nano", use_pretrained=False)
+    if kind == "csp_darknet":
+        from focoos.nn.backbone.csp_darknet import CSPDarknetConfig
+
+        return CSPDarknetConfig(size="small", use_pretrained=False)
+    raise ValueError(kind)
+
+
+def make_jax_backbone(kind: str):
+    if kind == "resnet":
+        from focoos_tpu.nn.backbone.resnet import ResNet, ResnetConfig
+
+        cfg = ResnetConfig(depth=18, variant="d", freeze_norm=False, use_pretrained=False)
+        return cfg, ResNet(config=cfg)
+    if kind == "stdc":
+        from focoos_tpu.nn.backbone.stdc import STDC, STDCConfig
+
+        cfg = STDCConfig(size="nano", use_pretrained=False)
+        return cfg, STDC(config=cfg)
+    if kind == "csp_darknet":
+        from focoos_tpu.nn.backbone.csp_darknet import CSPDarknet, CSPDarknetConfig
+
+        cfg = CSPDarknetConfig(size="small", use_pretrained=False)
+        return cfg, CSPDarknet(config=cfg)
+    raise ValueError(kind)
+
+
+def compare(name, jax_arr, torch_arr, tol=2e-3):
+    d = np.abs(np.asarray(jax_arr) - torch_arr.detach().numpy())
+    ok = d.max() < tol
+    print(f"  {name}: max|Δ|={d.max():.2e} mean|Δ|={d.mean():.2e} {'OK' if ok else '** MISMATCH **'}")
+    return ok
+
+
+def load_converted(module, family, torch_model, example, extra_rngs=()):
+    """init jax module, convert torch weights, merge."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.utils.checkpoint import merge_compatible
+    from focoos_tpu.utils.torch_convert import convert_state_dict
+
+    state = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(example), train=False)
+    converted, unmatched = convert_state_dict(state, family)
+    if unmatched:
+        print(f"  UNMATCHED torch keys ({len(unmatched)}):")
+        for k in unmatched[:15]:
+            print("     ", k)
+    merged, skipped, missing = merge_compatible(dict(variables), converted)
+    if skipped:
+        print(f"  SHAPE-MISMATCH ({len(skipped)}):")
+        for k in skipped[:15]:
+            print("     ", k)
+    if missing:
+        print(f"  MISSING ({len(missing)}):")
+        for k in missing[:15]:
+            print("     ", k)
+    return merged, (not unmatched and not skipped and not missing)
+
+
+def parity_fai_detr(backbone: str) -> bool:
+    import torch
+
+    torch.manual_seed(0)
+    from focoos.models.fai_detr.config import DETRConfig as TC
+    from focoos.models.fai_detr.modelling import FAIDetr as TM
+
+    tcfg = TC(num_classes=13, backbone_config=make_torch_backbone_cfg(backbone), num_queries=50,
+              transformer_predictor_dec_layers=3)
+    tmodel = TM(tcfg).eval()
+
+    from focoos_tpu.models.fai_detr.config import DETRConfig
+    from focoos_tpu.models.fai_detr.modelling import FAIDetr
+
+    bcfg, bmodule = make_jax_backbone(backbone)
+    cfg = DETRConfig(num_classes=13, backbone_config=bcfg, num_queries=50, transformer_predictor_dec_layers=3)
+    module = FAIDetr(config=cfg, backbone=bmodule)
+
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).integers(0, 255, (2, 256, 256, 3)).astype(np.float32)
+    merged, clean = load_converted(module, "fai_detr", tmodel, x)
+    out_j, _ = module.apply(merged, jnp.asarray(x), train=False)
+    with __import__("torch").no_grad():
+        out_t = tmodel(__import__("torch").from_numpy(x.transpose(0, 3, 1, 2)))
+    ok = compare("boxes", out_j.boxes, out_t.boxes) & compare("logits", out_j.logits, out_t.logits)
+    return ok and clean
+
+
+def parity_fai_cls(backbone: str) -> bool:
+    import torch
+
+    torch.manual_seed(0)
+    from focoos.models.fai_cls.config import ClassificationConfig as TC
+    from focoos.models.fai_cls.modelling import FAIClassification as TM
+
+    tcfg = TC(num_classes=9, backbone_config=make_torch_backbone_cfg(backbone), num_layers=2)
+    tmodel = TM(tcfg).eval()
+
+    from focoos_tpu.models.fai_cls.config import ClassificationConfig
+    from focoos_tpu.models.fai_cls.modelling import FAIClassification
+
+    bcfg, bmodule = make_jax_backbone(backbone)
+    cfg = ClassificationConfig(num_classes=9, backbone_config=bcfg, num_layers=2)
+    module = FAIClassification(config=cfg, backbone=bmodule)
+
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(1).integers(0, 255, (2, 224, 224, 3)).astype(np.float32)
+    merged, clean = load_converted(module, "fai_cls", tmodel, x)
+    out_j, _ = module.apply(merged, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        # reference normalizes in the processor; replicate before model call
+        mean = torch.tensor(tcfg.pixel_mean).view(1, -1, 1, 1)
+        std = torch.tensor(tcfg.pixel_std).view(1, -1, 1, 1)
+        out_t = tmodel((xt - mean) / std)
+    return compare("logits", out_j.logits, out_t.logits) and clean
+
+
+CHECKS = {
+    "fai_detr": parity_fai_detr,
+    "fai_cls": parity_fai_cls,
+}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import _reference_compat
+
+    _reference_compat.install()
+
+    args = sys.argv[1:] or ["all"]
+    if args[0] == "all":
+        todo = [("fai_detr", "resnet"), ("fai_detr", "stdc"), ("fai_cls", "stdc")]
+    else:
+        todo = [(args[0], args[1] if len(args) > 1 else "resnet")]
+
+    failures = []
+    for fam, bb in todo:
+        print(f"== parity {fam} ({bb})")
+        try:
+            ok = CHECKS[fam](bb)
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            ok = False
+        if not ok:
+            failures.append((fam, bb))
+        print(f"   {'PASS' if ok else 'FAIL'}")
+    if failures:
+        print("FAILED:", failures)
+        return 1
+    print("ALL PARITY CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
