@@ -1,0 +1,214 @@
+"""fai_mf processor (reference: focoos/models/fai_mf/processor.py).
+
+Semantic mode: einsum class-probs × masks (or per-pixel argmax). Instance
+mode: top-k over Q×C scores, binarized masks, mask-score rescoring, boxes
+from masks. Targets are padded to static shapes with masks downsampled to
+mask-feature resolution (TPU static-shape design; the criterion
+point-samples in normalized coords so resolutions stay consistent).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from focoos_tpu.models.fai_mf.config import MaskFormerConfig
+from focoos_tpu.models.fai_mf.ports import MaskFormerModelOutput, MaskFormerTargets
+from focoos_tpu.ports import DatasetEntry, FocoosDet, FocoosDetections
+from focoos_tpu.processor.base_processor import Processor
+from focoos_tpu.structures import ImageList, Instances, BitMasks, Boxes
+from focoos_tpu.utils.vision import mask_to_base64_png
+
+
+def _masks_to_xyxy(masks: np.ndarray) -> np.ndarray:
+    """[N, H, W] bool → [N, 4] boxes."""
+    boxes = np.zeros((masks.shape[0], 4), np.int32)
+    for i, m in enumerate(masks):
+        ys, xs = np.nonzero(m)
+        if len(xs):
+            boxes[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
+    return boxes
+
+
+def _trim_mask(mask: np.ndarray, bbox) -> np.ndarray:
+    x0, y0, x1, y1 = [int(v) for v in bbox]
+    return mask[y0 : y1 + 1, x0 : x1 + 1]
+
+
+def _resize_mask_batch(masks: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """[N, H, W] float → bilinear resize to (h, w)."""
+    import cv2
+
+    h, w = size
+    if masks.shape[1:] == (h, w):
+        return masks
+    return np.stack([cv2.resize(m.astype(np.float32), (w, h), interpolation=cv2.INTER_LINEAR) for m in masks]) if len(masks) else masks.reshape(0, h, w)
+
+
+class MaskFormerProcessor(Processor):
+    def __init__(self, config: MaskFormerConfig, image_size: Optional[Union[int, Tuple[int, int]]] = None):
+        super().__init__(config, image_size)
+        self.num_classes = config.num_classes
+        self.top_k = config.top_k
+        self.threshold = config.threshold
+        self.mask_threshold = config.mask_threshold
+        self.use_mask_score = config.use_mask_score
+        self.predict_all_pixels = config.predict_all_pixels
+        self.postprocessing_type = config.postprocessing_type
+
+    # ------------------------------------------------------------------
+    def preprocess(self, inputs, dtype=None):
+        if isinstance(inputs, (list, tuple)) and len(inputs) > 0 and isinstance(inputs[0], DatasetEntry):
+            return self.preprocess_entries(inputs)
+        if self.training:
+            raise ValueError("training preprocess expects a list of DatasetEntry")
+        return self.get_batch(inputs, self._target_size()), None
+
+    def preprocess_entries(self, entries: List[DatasetEntry], max_instances: int = 100, mask_stride: int = 4):
+        import jax.numpy as jnp
+
+        images = ImageList.from_tensors([e.image for e in entries])
+        batch = images.tensor.astype(np.uint8)
+        if not self.training:
+            return batch, None
+        b = len(entries)
+        h, w = batch.shape[1:3]
+        hm, wm = h // mask_stride, w // mask_stride
+        labels = np.zeros((b, max_instances), np.int32)
+        masks = np.zeros((b, max_instances, hm, wm), np.float32)
+        valid = np.zeros((b, max_instances), bool)
+        import cv2
+
+        for i, e in enumerate(entries):
+            inst = e.instances
+            if inst is None or len(inst) == 0:
+                continue
+            n = min(len(inst), max_instances)
+            gt = inst.masks.tensor[:n] if hasattr(inst, "masks") else None
+            if gt is None:
+                continue
+            for j in range(n):
+                mj = np.zeros((h, w), np.uint8)
+                gj = gt[j].astype(np.uint8)
+                mj[: gj.shape[0], : gj.shape[1]] = gj
+                masks[i, j] = cv2.resize(mj.astype(np.float32), (wm, hm), interpolation=cv2.INTER_LINEAR)
+            labels[i, :n] = inst.classes[:n]
+            valid[i, :n] = True
+        return batch, MaskFormerTargets(
+            labels=jnp.asarray(labels), masks=jnp.asarray(masks), valid=jnp.asarray(valid)
+        )
+
+    # ------------------------------------------------------------------
+    def semantic_inference(self, cls_probs: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        """einsum qc,qhw→chw (reference: fai_mf/processor.py:99-106)."""
+        return np.einsum("qc,qhw->chw", cls_probs, masks)
+
+    def instance_inference(self, cls_probs: np.ndarray, masks: np.ndarray) -> Instances:
+        """top-k + mask-score rescoring + bbox-from-mask (reference :107-141)."""
+        image_size = masks.shape[-2:]
+        flat = cls_probs.reshape(-1)
+        k = min(self.top_k, flat.size)
+        topk = np.argpartition(-flat, k - 1)[:k]
+        scores = flat[topk]
+        labels = topk % self.num_classes
+        qidx = topk // self.num_classes
+        mp = masks[qidx]
+        binm = mp > self.mask_threshold
+        small = binm * 1e-3
+        mask_scores = (small.reshape(k, -1) * mp.reshape(k, -1)).sum(1) / (small.reshape(k, -1).sum(1) + 1e-6)
+        inst = Instances(
+            image_size,
+            boxes=BitMasks(binm).get_bounding_boxes(),
+            masks=BitMasks(binm),
+            scores=scores * mask_scores,
+            classes=labels.astype(np.int64),
+        )
+        return inst
+
+    def eval_postprocess(self, output: MaskFormerModelOutput, batched_inputs: List[DatasetEntry], **kw):
+        cls_pred = np.asarray(output.logits)
+        mask_pred = np.asarray(output.masks)
+        results = []
+        for i, entry in enumerate(batched_inputs):
+            size = entry.image.shape[:2] if entry.image is not None else mask_pred.shape[-2:]
+            height, width = entry.height or size[0], entry.width or size[1]
+            mp = mask_pred[i][:, : size[0], : size[1]]
+            mp = _resize_mask_batch(mp, (height, width))
+            if self.postprocessing_type == "semantic":
+                results.append({"sem_seg": self.semantic_inference(cls_pred[i], mp)})
+            else:
+                results.append({"instances": self.instance_inference(cls_pred[i], mp)})
+        return results
+
+    def postprocess(
+        self,
+        output: MaskFormerModelOutput,
+        inputs,
+        class_names: List[str] = [],
+        top_k: Optional[int] = None,
+        threshold: Optional[float] = None,
+        use_mask_score: Optional[bool] = None,
+        predict_all_pixels: Optional[bool] = None,
+        **kw,
+    ) -> List[FocoosDetections]:
+        threshold = self.threshold if threshold is None else threshold
+        use_mask_score = self.use_mask_score if use_mask_score is None else use_mask_score
+        predict_all_pixels = self.predict_all_pixels if predict_all_pixels is None else predict_all_pixels
+
+        image_sizes = self.get_image_sizes(inputs)
+        cls_pred = np.asarray(output.logits)  # [B, Q, C] probs
+        mask_pred = np.asarray(output.masks)  # [B, Q, H, W] probs
+
+        scores_all = cls_pred.max(-1)
+        labels_all = cls_pred.argmax(-1)
+
+        results = []
+        for i, (h, w) in enumerate(image_sizes):
+            scores, labels, mp = scores_all[i], labels_all[i], mask_pred[i]
+            if predict_all_pixels:
+                weighted = scores[:, None, None] * mp
+                assign = weighted.argmax(0)  # [H, W]
+                q = mp.shape[0]
+                binm = assign[None] == np.arange(q)[:, None, None]
+            else:
+                binm = mp >= self.mask_threshold
+
+            keep = binm.sum((-2, -1)) > 1
+            scores, labels, binm, mp = scores[keep], labels[keep], binm[keep], mp[keep]
+
+            if use_mask_score and len(scores):
+                small = binm.astype(np.float32) * 1e-3
+                ms = (small * mp).sum((-2, -1)) / (small.sum((-2, -1)) + 1e-5)
+                scores = scores * ms
+            if threshold > 0:
+                keep = scores > threshold
+                scores, labels, binm = scores[keep], labels[keep], binm[keep]
+
+            dets = []
+            if len(scores):
+                resized = _resize_mask_batch(binm.astype(np.float32), (h, w)) > 0.5
+                boxes = _masks_to_xyxy(resized)
+                for bx, s, l, m in zip(boxes.tolist(), scores.tolist(), labels.tolist(), resized):
+                    dets.append(
+                        FocoosDet(
+                            bbox=bx,
+                            conf=float(s),
+                            cls_id=int(l),
+                            mask=mask_to_base64_png(_trim_mask(m, bx)),
+                            label=class_names[int(l)] if class_names else None,
+                        )
+                    )
+            results.append(FocoosDetections(detections=dets))
+        return results
+
+    def export_postprocess(self, output, inputs, class_names: List[str] = [], **kw) -> List[FocoosDetections]:
+        import jax.numpy as jnp
+
+        model_output = MaskFormerModelOutput(
+            masks=jnp.asarray(output[0]), logits=jnp.asarray(output[1]), loss=None
+        )
+        return self.postprocess(model_output, inputs, class_names, **kw)
+
+    def get_output_names(self) -> List[str]:
+        return ["masks", "logits"]

@@ -188,17 +188,28 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int = 2048
     activation: str = "relu"
+    normalize_before: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, pos_embed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        attn = MultiHeadAttention(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+
+        def ffn(x):
+            x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+            x = get_activation(self.activation)(x)
+            return nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
+
+        if self.normalize_before:
+            s2 = norm1(src)
+            q = s2 if pos_embed is None else s2 + pos_embed
+            src = src + attn(q, q, s2)
+            return src + ffn(norm2(src))
         q = src if pos_embed is None else src + pos_embed
-        attn = MultiHeadAttention(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")(q, q, src)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
-        ffn = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
-        ffn = get_activation(self.activation)(ffn)
-        ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ffn)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + ffn)
+        src = norm1(src + attn(q, q, src))
+        return norm2(src + ffn(src))
 
 
 def sine_position_embedding_2d(
@@ -233,8 +244,116 @@ def sine_position_embedding_2d(
 
 
 def bilinear_resize(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
-    """Bilinear NHWC resize with half-pixel centers (torch align_corners=False)."""
+    """Bilinear NHWC resize with half-pixel centers, NO antialiasing — exact
+    torch ``F.interpolate(mode="bilinear", align_corners=False)`` semantics."""
     import jax
 
     b, _, _, c = x.shape
-    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear", antialias=False)
+
+
+def sine_position_embedding_2d_normalized(
+    h: int,
+    w: int,
+    num_pos_feats: int,
+    temperature: float = 10000.0,
+    scale: float = 2.0 * 3.141592653589793,
+    eps: float = 1e-6,
+    offset: float = 0.0,
+    dtype: Dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Normalized sine embedding → [H*W, 2*num_pos_feats].
+
+    Matches the reference PositionEmbeddingSine(normalize=True)
+    (focoos/nn/layers/position_encoding.py:7): 1-based cumsum coordinates
+    normalized to (0, scale]; sin/cos interleaved per position pair; channel
+    order (y-half, x-half).
+    """
+    y = (jnp.arange(h, dtype=jnp.float32) + 1.0 + offset) / (h + eps) * scale
+    x = (jnp.arange(w, dtype=jnp.float32) + 1.0 + offset) / (w + eps) * scale
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2.0 * jnp.floor(dim_t / 2.0) / num_pos_feats)
+    py = y[:, None] / dim_t  # [H, F]
+    px = x[:, None] / dim_t  # [W, F]
+
+    def interleave(p):
+        s = jnp.sin(p[:, 0::2])
+        c = jnp.cos(p[:, 1::2])
+        return jnp.stack([s, c], axis=-1).reshape(p.shape[0], -1)
+
+    py_i = interleave(py)  # [H, F]
+    px_i = interleave(px)  # [W, F]
+    out = jnp.concatenate(
+        [
+            jnp.broadcast_to(py_i[:, None, :], (h, w, num_pos_feats)).reshape(h * w, -1),
+            jnp.broadcast_to(px_i[None, :, :], (h, w, num_pos_feats)).reshape(h * w, -1),
+        ],
+        axis=-1,
+    )
+    return out.astype(dtype)
+
+
+class SelfAttentionBlock(nn.Module):
+    """Pre/post-norm residual self-attention
+    (reference: focoos/nn/layers/transformer.py:17 SelfAttentionLayer)."""
+
+    d_model: int
+    nhead: int
+    normalize_before: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, tgt, query_pos=None, attn_mask=None):
+        attn = MultiHeadAttention(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        if self.normalize_before:
+            t2 = norm(tgt)
+            q = t2 if query_pos is None else t2 + query_pos
+            return tgt + attn(q, q, t2, attn_mask=attn_mask)
+        q = tgt if query_pos is None else tgt + query_pos
+        return norm(tgt + attn(q, q, tgt, attn_mask=attn_mask))
+
+
+class CrossAttentionBlock(nn.Module):
+    """Pre/post-norm residual cross-attention
+    (reference: focoos/nn/layers/transformer.py:131 CrossAttentionLayer)."""
+
+    d_model: int
+    nhead: int
+    normalize_before: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos=None, query_pos=None, attn_mask=None):
+        attn = MultiHeadAttention(self.d_model, self.nhead, dtype=self.dtype, name="multihead_attn")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        k = memory if pos is None else memory + pos
+        if self.normalize_before:
+            t2 = norm(tgt)
+            q = t2 if query_pos is None else t2 + query_pos
+            return tgt + attn(q, k, memory, attn_mask=attn_mask)
+        q = tgt if query_pos is None else tgt + query_pos
+        return norm(tgt + attn(q, k, memory, attn_mask=attn_mask))
+
+
+class FFNBlock(nn.Module):
+    """Pre/post-norm residual FFN (reference: focoos/nn/layers/transformer.py:267 FFNLayer)."""
+
+    d_model: int
+    dim_feedforward: int
+    activation: str = "relu"
+    normalize_before: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, tgt):
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+
+        def ffn(x):
+            x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+            x = get_activation(self.activation)(x)
+            return nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
+
+        if self.normalize_before:
+            return tgt + ffn(norm(tgt))
+        return norm(tgt + ffn(tgt))

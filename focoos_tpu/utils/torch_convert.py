@@ -265,6 +265,73 @@ def fai_detr_rules() -> List[Rule]:
     return rules
 
 
+def masked_decoder_rules() -> List[Rule]:
+    """Shared masked-attention query-decoder rules (fai_mf + bisenetformer)."""
+    rules: List[Rule] = []
+    pr_t, pr_j = r"head\.predictor", "predictor"
+    rules += [
+        (rf"{pr_t}\.query_feat\.weight", f"params/{pr_j}/query_feat", _id),
+        (rf"{pr_t}\.query_embed\.weight", f"params/{pr_j}/query_embed", _id),
+        (rf"{pr_t}\.input_proj\.(\d+)\.weight", rf"params/{pr_j}/input_proj_\1/kernel", _conv),
+        (rf"{pr_t}\.input_proj\.(\d+)\.bias", rf"params/{pr_j}/input_proj_\1/bias", _id),
+    ]
+    rules += mha_rules(
+        rf"{pr_t}\.transformer_cross_attention_layers\.(\d+)\.multihead_attn",
+        rf"params/{pr_j}/transformer_cross_attention_layers_\1/multihead_attn",
+    )
+    rules += ln_rules(
+        rf"{pr_t}\.transformer_cross_attention_layers\.(\d+)\.norm",
+        rf"{pr_j}/transformer_cross_attention_layers_\1/norm",
+    )
+    rules += mha_rules(
+        rf"{pr_t}\.transformer_self_attention_layers\.(\d+)\.self_attn",
+        rf"params/{pr_j}/transformer_self_attention_layers_\1/self_attn",
+    )
+    rules += ln_rules(
+        rf"{pr_t}\.transformer_self_attention_layers\.(\d+)\.norm",
+        rf"{pr_j}/transformer_self_attention_layers_\1/norm",
+    )
+    rules += dense_rules(
+        rf"{pr_t}\.transformer_ffn_layers\.(\d+)\.linear1", rf"{pr_j}/transformer_ffn_layers_\1/linear1"
+    )
+    rules += dense_rules(
+        rf"{pr_t}\.transformer_ffn_layers\.(\d+)\.linear2", rf"{pr_j}/transformer_ffn_layers_\1/linear2"
+    )
+    rules += ln_rules(rf"{pr_t}\.transformer_ffn_layers\.(\d+)\.norm", rf"{pr_j}/transformer_ffn_layers_\1/norm")
+    fh = rf"{pr_t}\.forward_prediction_heads"
+    fhj = f"{pr_j}/forward_prediction_heads"
+    rules += ln_rules(rf"{fh}\.decoder_norm", f"{fhj}/decoder_norm")
+    rules += dense_rules(rf"{fh}\.classifier", f"{fhj}/classifier")
+    rules += dense_rules(rf"{fh}\.mask_classifier\.layers\.(\d+)", rf"{fhj}/mask_classifier/layers_\1")
+    return rules
+
+
+def fai_mf_rules() -> List[Rule]:
+    rules: List[Rule] = []
+    rules += backbone_rules(r"pixel_decoder\.backbone", "backbone")
+
+    pd = "pixel_decoder"
+    rules += [
+        (rf"{pd}\.input_proj\.weight", f"params/{pd}/input_proj/kernel", _conv),
+        (rf"{pd}\.input_proj\.bias", f"params/{pd}/input_proj/bias", _id),
+    ]
+    rules += transformer_encoder_layer_rules(
+        rf"{pd}\.transformer\.encoder\.layers\.(\d+)", rf"{pd}/transformer_layers_\1"
+    )
+    rules += ln_rules(rf"{pd}\.transformer\.encoder\.norm", f"{pd}/transformer_norm")
+    rules += [
+        (rf"{pd}\.adapter_(\d)\.weight", rf"params/{pd}/adapter_\1_conv/kernel", _conv),
+        *_bn_rules(rf"{pd}\.adapter_(\d)\.norm", rf"{pd}/adapter_\1_norm"),
+        (rf"{pd}\.layer_(\d)\.weight", rf"params/{pd}/layer_\1_conv/kernel", _conv),
+        *_bn_rules(rf"{pd}\.layer_(\d)\.norm", rf"{pd}/layer_\1_norm"),
+        (rf"{pd}\.mask_features\.weight", f"params/{pd}/mask_features/kernel", _conv),
+        (rf"{pd}\.mask_features\.bias", f"params/{pd}/mask_features/bias", _id),
+    ]
+
+    rules += masked_decoder_rules()
+    return rules
+
+
 def fai_cls_rules() -> List[Rule]:
     rules = backbone_rules(r"backbone", "backbone")
     # head: Sequential indices → fc1/fc2 (1-layer head conv at idx 2;
@@ -283,6 +350,7 @@ def fai_cls_rules() -> List[Rule]:
 FAMILY_RULES: Dict[str, Callable[[], List[Rule]]] = {
     "fai_detr": fai_detr_rules,
     "fai_cls": fai_cls_rules,
+    "fai_mf": fai_mf_rules,
 }
 
 
@@ -298,3 +366,44 @@ def convert_state_dict(
 
         get_logger(__name__).warning(f"{len(unmatched)} torch keys unmatched, e.g. {unmatched[:5]}")
     return unflatten_tree(flat), unmatched
+
+
+def _convbnrelu_rules(tp: str, jp: str) -> List[Rule]:
+    return [
+        (rf"{tp}\.conv\.weight", f"params/{jp}/conv/kernel", _conv),
+        *_bn_rules(rf"{tp}\.bn", f"{jp}/bn"),
+    ]
+
+
+def bisenetformer_rules() -> List[Rule]:
+    rules = backbone_rules(r"pixel_decoder\.backbone", "backbone")
+    pd = "pixel_decoder"
+    for t_arm, j_arm in (("arm32", "cp_arm32"), ("arm16", "cp_arm16"), ("arm8", "cp_arm8")):
+        rules += [
+            (rf"{pd}\.cp\.{t_arm}\.proj\.weight", f"params/{pd}/{j_arm}/proj/kernel", _conv),
+            (rf"{pd}\.cp\.{t_arm}\.conv_atten\.weight", f"params/{pd}/{j_arm}/conv_atten/kernel", _conv),
+            *_bn_rules(rf"{pd}\.cp\.{t_arm}\.bn_atten", f"{pd}/{j_arm}/bn_atten"),
+            *_convbnrelu_rules(rf"{pd}\.cp\.{t_arm}\.conv", f"{pd}/{j_arm}/conv"),
+        ]
+    for t_c, j_c in (
+        ("conv_avg", "cp_conv_avg"),
+        ("conv_head32", "cp_conv_head32"),
+        ("conv_head16", "cp_conv_head16"),
+        ("conv_head8", "cp_conv_head8"),
+    ):
+        rules += _convbnrelu_rules(rf"{pd}\.cp\.{t_c}", f"{pd}/{j_c}")
+    rules += [
+        (rf"{pd}\.ffm\.proj1\.weight", f"params/{pd}/ffm/proj1/kernel", _conv),
+        (rf"{pd}\.ffm\.proj1\.bias", f"params/{pd}/ffm/proj1/bias", _id),
+        (rf"{pd}\.ffm\.proj2\.weight", f"params/{pd}/ffm/proj2/kernel", _conv),
+        (rf"{pd}\.ffm\.proj2\.bias", f"params/{pd}/ffm/proj2/bias", _id),
+        (rf"{pd}\.ffm\.conv1\.weight", f"params/{pd}/ffm/conv1/kernel", _conv),
+        (rf"{pd}\.ffm\.conv2\.weight", f"params/{pd}/ffm/conv2/kernel", _conv),
+        *_convbnrelu_rules(rf"{pd}\.ffm\.convblk", f"{pd}/ffm/convblk"),
+    ]
+    rules += _convbnrelu_rules(rf"{pd}\.conv_out", f"{pd}/conv_out")
+    rules += masked_decoder_rules()
+    return rules
+
+
+FAMILY_RULES["bisenetformer"] = bisenetformer_rules

@@ -152,9 +152,98 @@ def parity_fai_cls(backbone: str) -> bool:
     return compare("logits", out_j.logits, out_t.logits) and clean
 
 
+def parity_fai_mf(backbone: str) -> bool:
+    import torch
+
+    torch.manual_seed(0)
+    from focoos.models.fai_mf.config import MaskFormerConfig as TC
+    from focoos.models.fai_mf.modelling import FAIMaskFormer as TM
+
+    tcfg = TC(
+        num_classes=7,
+        backbone_config=make_torch_backbone_cfg(backbone),
+        num_queries=20,
+        transformer_predictor_dec_layers=4,
+        pixel_decoder_transformer_layers=1,
+        pixel_decoder_feat_dim=64,
+        pixel_decoder_out_dim=64,
+        transformer_predictor_hidden_dim=64,
+        transformer_predictor_out_dim=64,
+    )
+    tmodel = TM(tcfg).eval()
+
+    from focoos_tpu.models.fai_mf.config import MaskFormerConfig
+    from focoos_tpu.models.fai_mf.modelling import FAIMaskFormer
+
+    bcfg, bmodule = make_jax_backbone(backbone)
+    cfg = MaskFormerConfig(
+        num_classes=7,
+        backbone_config=bcfg,
+        num_queries=20,
+        transformer_predictor_dec_layers=4,
+        pixel_decoder_transformer_layers=1,
+        pixel_decoder_feat_dim=64,
+        pixel_decoder_out_dim=64,
+        transformer_predictor_hidden_dim=64,
+        transformer_predictor_out_dim=64,
+    )
+    module = FAIMaskFormer(config=cfg, backbone=bmodule)
+
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(2).integers(0, 255, (2, 160, 160, 3)).astype(np.float32)
+    merged, clean = load_converted(module, "fai_mf", tmodel, x)
+    out_j, _ = module.apply(merged, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        out_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ok = compare("logits", out_j.logits, out_t.logits, tol=5e-3) & compare(
+        "masks", out_j.masks, out_t.masks, tol=5e-3
+    )
+    return ok and clean
+
+
+def parity_bisenetformer(backbone: str) -> bool:
+    import torch
+
+    torch.manual_seed(0)
+    from focoos.models.bisenetformer.config import BisenetFormerConfig as TC
+    from focoos.models.bisenetformer.modelling import BisenetFormer as TM
+
+    kw = dict(
+        num_classes=7,
+        num_queries=20,
+        transformer_predictor_dec_layers=4,
+        pixel_decoder_feat_dim=64,
+        pixel_decoder_out_dim=64,
+        transformer_predictor_hidden_dim=64,
+        transformer_predictor_out_dim=64,
+    )
+    tmodel = TM(TC(backbone_config=make_torch_backbone_cfg(backbone), **kw)).eval()
+
+    from focoos_tpu.models.bisenetformer.config import BisenetFormerConfig
+    from focoos_tpu.models.bisenetformer.modelling import BisenetFormer
+
+    bcfg, bmodule = make_jax_backbone(backbone)
+    module = BisenetFormer(config=BisenetFormerConfig(backbone_config=bcfg, **kw), backbone=bmodule)
+
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(3).integers(0, 255, (2, 160, 160, 3)).astype(np.float32)
+    merged, clean = load_converted(module, "bisenetformer", tmodel, x)
+    out_j, _ = module.apply(merged, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        out_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ok = compare("logits", out_j.logits, out_t.logits, tol=5e-3) & compare(
+        "masks", out_j.masks, out_t.masks, tol=5e-3
+    )
+    return ok and clean
+
+
 CHECKS = {
     "fai_detr": parity_fai_detr,
     "fai_cls": parity_fai_cls,
+    "fai_mf": parity_fai_mf,
+    "bisenetformer": parity_bisenetformer,
 }
 
 
@@ -168,7 +257,13 @@ def main():
 
     args = sys.argv[1:] or ["all"]
     if args[0] == "all":
-        todo = [("fai_detr", "resnet"), ("fai_detr", "stdc"), ("fai_cls", "stdc")]
+        todo = [
+            ("fai_detr", "resnet"),
+            ("fai_detr", "stdc"),
+            ("fai_cls", "stdc"),
+            ("fai_mf", "resnet"),
+            ("bisenetformer", "stdc"),
+        ]
     else:
         todo = [(args[0], args[1] if len(args) > 1 else "resnet")]
 
