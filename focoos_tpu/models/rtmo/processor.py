@@ -1,0 +1,155 @@
+"""rtmo processor (reference: focoos/models/rtmo/processor.py).
+
+The model decodes to static [B, D] arrays on-device; the processor scales
+boxes/keypoints back to the original image frame and builds detections.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from focoos_tpu.models.rtmo.config import RTMOConfig
+from focoos_tpu.models.rtmo.ports import KeypointTargets, RTMOModelOutput
+from focoos_tpu.ports import DatasetEntry, FocoosDet, FocoosDetections
+from focoos_tpu.processor.base_processor import Processor
+from focoos_tpu.structures import Boxes, ImageList, Instances
+
+
+class RTMOProcessor(Processor):
+    def __init__(self, config: RTMOConfig, image_size: Optional[Union[int, Tuple[int, int]]] = None):
+        super().__init__(config, image_size)
+        self.threshold = config.score_thr
+        self.skeleton = config.skeleton
+        self.keypoint_names = config.keypoints
+
+    def preprocess(self, inputs, dtype=None):
+        if isinstance(inputs, (list, tuple)) and len(inputs) > 0 and isinstance(inputs[0], DatasetEntry):
+            return self.preprocess_entries(inputs)
+        if self.training:
+            raise ValueError("training preprocess expects a list of DatasetEntry")
+        return self.get_batch(inputs, self._target_size()), None
+
+    def preprocess_entries(self, entries: List[DatasetEntry], max_instances: int = 50):
+        import jax.numpy as jnp
+
+        images = ImageList.from_tensors([e.image for e in entries])
+        batch = images.tensor.astype(np.uint8)
+        if not self.training:
+            return batch, None
+        b = len(entries)
+        K = self.config.num_keypoints
+        labels = np.zeros((b, max_instances), np.int32)
+        boxes = np.zeros((b, max_instances, 4), np.float32)
+        kpts = np.zeros((b, max_instances, K, 2), np.float32)
+        vis = np.zeros((b, max_instances, K), np.float32)
+        areas = np.zeros((b, max_instances), np.float32)
+        valid = np.zeros((b, max_instances), bool)
+        for i, e in enumerate(entries):
+            inst = e.instances
+            if inst is None or len(inst) == 0:
+                continue
+            n = min(len(inst), max_instances)
+            boxes[i, :n] = inst.boxes.tensor[:n]
+            labels[i, :n] = inst.classes[:n]
+            if inst.has("keypoints"):
+                kp = inst.keypoints.tensor[:n]
+                kpts[i, :n] = kp[..., :2]
+                vis[i, :n] = kp[..., 2] > 0
+            bw = boxes[i, :n, 2] - boxes[i, :n, 0]
+            bh = boxes[i, :n, 3] - boxes[i, :n, 1]
+            areas[i, :n] = bw * bh
+            valid[i, :n] = True
+        return batch, KeypointTargets(
+            labels=jnp.asarray(labels),
+            boxes=jnp.asarray(boxes),
+            keypoints=jnp.asarray(kpts),
+            keypoints_visible=jnp.asarray(vis),
+            areas=jnp.asarray(areas),
+            valid=jnp.asarray(valid),
+        )
+
+    # ------------------------------------------------------------------
+    def _scaled_arrays(self, output: RTMOModelOutput, input_hw, image_sizes):
+        scores = np.asarray(output.scores)
+        labels = np.asarray(output.labels)
+        boxes = np.asarray(output.boxes).copy()
+        kpts = np.asarray(output.keypoints).copy()
+        kvis = np.asarray(output.keypoints_scores)
+        ih, iw = input_hw
+        for i, (h, w) in enumerate(image_sizes):
+            sx, sy = w / iw, h / ih
+            boxes[i, :, 0::2] *= sx
+            boxes[i, :, 1::2] *= sy
+            kpts[i, ..., 0] *= sx
+            kpts[i, ..., 1] *= sy
+        return scores, labels, boxes, kpts, kvis
+
+    def postprocess(
+        self,
+        output: RTMOModelOutput,
+        inputs,
+        class_names: List[str] = [],
+        threshold: Optional[float] = None,
+        **kw,
+    ) -> List[FocoosDetections]:
+        threshold = self.threshold if threshold is None else threshold
+        image_sizes = self.get_image_sizes(inputs)
+        ts = self._target_size() or image_sizes[0]
+        scores, labels, boxes, kpts, kvis = self._scaled_arrays(output, ts, image_sizes)
+
+        results = []
+        for i in range(scores.shape[0]):
+            keep = scores[i] > threshold
+            dets = []
+            for s, l, b, kp, kv in zip(
+                scores[i][keep], labels[i][keep], boxes[i][keep], kpts[i][keep], kvis[i][keep]
+            ):
+                dets.append(
+                    FocoosDet(
+                        bbox=np.rint(b).astype(int).tolist(),
+                        conf=float(s),
+                        cls_id=int(l),
+                        label=class_names[int(l)] if class_names else None,
+                        keypoints=[
+                            (int(round(x)), int(round(y)), float(v)) for (x, y), v in zip(kp, kv)
+                        ],
+                    )
+                )
+            results.append(FocoosDetections(detections=dets))
+        return results
+
+    def eval_postprocess(self, output: RTMOModelOutput, batched_inputs: List[DatasetEntry], **kw):
+        image_sizes = [(e.height or 1, e.width or 1) for e in batched_inputs]
+        ts = self._target_size() or (
+            batched_inputs[0].image.shape[:2] if batched_inputs[0].image is not None else image_sizes[0]
+        )
+        scores, labels, boxes, kpts, kvis = self._scaled_arrays(output, ts, image_sizes)
+        results = []
+        for i, (h, w) in enumerate(image_sizes):
+            keep = scores[i] > 0
+            b = Boxes(boxes[i][keep])
+            b.clip((h, w))
+            inst = Instances(
+                (h, w),
+                boxes=b,
+                scores=scores[i][keep],
+                classes=labels[i][keep].astype(np.int64),
+                keypoints=np.concatenate([kpts[i][keep], kvis[i][keep][..., None]], axis=-1),
+            )
+            results.append({"instances": inst})
+        return results
+
+    def export_postprocess(self, output, inputs, class_names: List[str] = [], **kw) -> List[FocoosDetections]:
+        import jax.numpy as jnp
+
+        arr = [jnp.asarray(o) for o in output]
+        model_output = RTMOModelOutput(
+            scores=arr[0], labels=arr[1], boxes=arr[2], boxes_scores=arr[3],
+            keypoints=arr[4], keypoints_scores=arr[5], keypoints_visible=arr[6], loss=None,
+        )
+        return self.postprocess(model_output, inputs, class_names, **kw)
+
+    def get_output_names(self) -> List[str]:
+        return ["scores", "labels", "boxes", "boxes_scores", "keypoints", "keypoints_scores", "keypoints_visible"]

@@ -1,0 +1,180 @@
+"""CSP-Darknet (YOLOX-style) backbone in flax/NHWC — RTMO's feature extractor.
+
+Re-derivation of the reference (focoos/nn/backbone/csp_darknet.py, itself
+from MMPose): Focus stem (space-to-depth), four stages of stride-2 conv +
+(SPP on the last) + CSP layers of Darknet bottlenecks. BatchNorm uses the
+YOLO convention (eps=1e-3, torch momentum 0.03 → flax momentum 0.97).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from focoos_tpu.nn.backbone.base import BackboneConfig, BaseBackbone, ShapeSpec
+
+ARCH_SETTINGS = {
+    "small": [[32, 64, 1, True, False], [64, 128, 3, True, False], [128, 256, 3, True, False], [256, 512, 1, False, True]],
+    "medium": [[48, 96, 2, True, False], [96, 192, 6, True, False], [192, 384, 6, True, False], [384, 768, 2, False, True]],
+    "large": [[64, 128, 3, True, False], [128, 256, 9, True, False], [256, 512, 9, True, False], [512, 1024, 3, False, True]],
+}
+
+PRETRAINED_URLS = {
+    s: f"https://public.focoos.ai/pretrained_models/backbones/csp_darknet_{s}.pth" for s in ARCH_SETTINGS
+}
+
+
+@dataclass
+class CSPConfig(BackboneConfig):
+    model_type: str = "csp_darknet"
+    size: str = "small"
+
+
+class ConvModule(nn.Module):
+    """conv + BN(eps 1e-3) + SiLU (reference: csp_darknet.py:17-58)."""
+
+    out_channels: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k, p = self.kernel_size, self.padding
+        x = nn.Conv(self.out_channels, (k, k), strides=(self.stride, self.stride),
+                    padding=[(p, p), (p, p)], use_bias=False, feature_group_count=self.groups,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, name="bn")(x)
+        return nn.silu(x)
+
+
+class DarknetBottleneck(nn.Module):
+    """1x1 → 3x3 residual bottleneck (reference :86-124)."""
+
+    out_channels: int
+    expansion: float = 0.5
+    add_identity: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.out_channels * self.expansion)
+        out = ConvModule(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
+        out = ConvModule(self.out_channels, 3, padding=1, dtype=self.dtype, name="conv2")(out, train)
+        if self.add_identity and x.shape[-1] == self.out_channels:
+            return out + x
+        return out
+
+
+class ChannelAttention(nn.Module):
+    """GAP → 1x1 conv → hardsigmoid gate (reference :61-83)."""
+
+    channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+        g = nn.Conv(self.channels, (1, 1), use_bias=True, dtype=self.dtype, name="fc")(g)
+        return x * nn.hard_sigmoid(g)
+
+
+class CSPLayer(nn.Module):
+    """Cross-stage-partial layer (reference :127-185)."""
+
+    out_channels: int
+    expand_ratio: float = 0.5
+    num_blocks: int = 1
+    add_identity: bool = True
+    channel_attention: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        mid = int(self.out_channels * self.expand_ratio)
+        short = ConvModule(mid, 1, dtype=self.dtype, name="short_conv")(x, train)
+        main = ConvModule(mid, 1, dtype=self.dtype, name="main_conv")(x, train)
+        for i in range(self.num_blocks):
+            main = DarknetBottleneck(mid, 1.0, self.add_identity, dtype=self.dtype, name=f"blocks_{i}")(main, train)
+        y = jnp.concatenate([main, short], axis=-1)
+        if self.channel_attention:
+            y = ChannelAttention(2 * mid, dtype=self.dtype, name="attention")(y)
+        return ConvModule(self.out_channels, 1, dtype=self.dtype, name="final_conv")(y, train)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (reference :188-236)."""
+
+    out_channels: int
+    kernel_size: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # NHWC: gather the four pixel phases, concat on channels in the
+        # reference order (tl, bl, tr, br)
+        tl = x[:, ::2, ::2]
+        tr = x[:, ::2, 1::2]
+        bl = x[:, 1::2, ::2]
+        br = x[:, 1::2, 1::2]
+        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
+        k = self.kernel_size
+        return ConvModule(self.out_channels, k, padding=(k - 1) // 2, dtype=self.dtype, name="conv")(x, train)
+
+
+class SPPBottleneck(nn.Module):
+    """Parallel max-pool pyramid (reference :239-276)."""
+
+    out_channels: int
+    kernel_sizes: Sequence[int] = (5, 9, 13)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        mid = x.shape[-1] // 2
+        x = ConvModule(mid, 1, dtype=self.dtype, name="conv1")(x, train)
+        pools = [x]
+        for ks in self.kernel_sizes:
+            p = ks // 2
+            pools.append(nn.max_pool(x, (ks, ks), strides=(1, 1), padding=[(p, p), (p, p)]))
+        x = jnp.concatenate(pools, axis=-1)
+        return ConvModule(self.out_channels, 1, dtype=self.dtype, name="conv2")(x, train)
+
+
+class CSPDarknet(BaseBackbone):
+    config: CSPConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        arch = ARCH_SETTINGS[self.config.size]
+        dtype = x.dtype
+        x = Focus(arch[0][0], kernel_size=3, dtype=dtype, name="stem")(x, train)
+        outs = {}
+        for i, (cin, cout, nblocks, add_id, use_spp) in enumerate(arch):
+            x = ConvModule(cout, 3, stride=2, padding=1, dtype=dtype, name=f"stage{i + 1}_conv")(x, train)
+            if use_spp:
+                x = SPPBottleneck(cout, dtype=dtype, name=f"stage{i + 1}_spp")(x, train)
+            x = CSPLayer(cout, num_blocks=nblocks, add_identity=add_id, dtype=dtype,
+                         name=f"stage{i + 1}_csp")(x, train)
+            outs[f"res{i + 2}"] = x
+        return outs
+
+    def output_shape(self) -> Dict[str, ShapeSpec]:
+        arch = ARCH_SETTINGS[self.config.size]
+        strides = [4, 8, 16, 32]
+        return {f"res{i + 2}": ShapeSpec(channels=arch[i][1], stride=strides[i]) for i in range(4)}
+
+
+def _register_backbone():
+    from focoos_tpu.model_manager import BackboneManager
+
+    BackboneManager.register("csp_darknet", CSPConfig, CSPDarknet)
+
+
+_register_backbone()

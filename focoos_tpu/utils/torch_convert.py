@@ -49,9 +49,9 @@ def apply_rules(state: Dict[str, np.ndarray], rules: List[Rule]) -> Tuple[Dict[s
     out: Dict[str, np.ndarray] = {}
     unmatched: List[str] = []
     for key, val in state.items():
-        if key.endswith("num_batches_tracked") or key in ("pixel_mean", "pixel_std"):
+        if key.endswith(("num_batches_tracked", "dim_t", "x_bins", "y_bins")) or key in ("pixel_mean", "pixel_std"):
             continue
-        if "criterion" in key:
+        if "criterion" in key or "anchors" in key or "valid_mask" in key:
             continue
         hit = False
         for pat, template, tf in rules:
@@ -407,3 +407,114 @@ def bisenetformer_rules() -> List[Rule]:
 
 
 FAMILY_RULES["bisenetformer"] = bisenetformer_rules
+
+
+def _cm_rules(tp: str, jp: str) -> List[Rule]:
+    """csp_darknet ConvModule: conv + bn."""
+    return [
+        (rf"{tp}\.conv\.weight", f"params/{jp}/conv/kernel", _conv),
+        *_bn_rules(rf"{tp}\.bn", f"{jp}/bn"),
+    ]
+
+
+def csp_darknet_rules(tp: str, jp: str) -> List[Rule]:
+    rules: List[Rule] = []
+    rules += _cm_rules(rf"{tp}\.stem\.conv", f"{jp}/stem/conv")
+
+    def csp_layer(t, j):
+        r = []
+        for c in ("main_conv", "short_conv", "final_conv"):
+            r += _cm_rules(rf"{t}\.{c}", rf"{j}/{c}")
+        g = re.compile(t).groups + 1
+        r += _cm_rules(rf"{t}\.blocks\.(\d+)\.conv1", rf"{j}/blocks_\{g}/conv1")
+        r += _cm_rules(rf"{t}\.blocks\.(\d+)\.conv2", rf"{j}/blocks_\{g}/conv2")
+        r += [
+            (rf"{t}\.attention\.fc\.weight", rf"params/{j}/attention/fc/kernel", _conv),
+            (rf"{t}\.attention\.fc\.bias", rf"params/{j}/attention/fc/bias", _id),
+        ]
+        return r
+
+    for i in range(1, 5):
+        # stage: Sequential(conv[, spp], csp) — spp only in stage4
+        rules += _cm_rules(rf"{tp}\.stage{i}\.0", rf"{jp}/stage{i}_conv")
+        if i == 4:
+            rules += _cm_rules(rf"{tp}\.stage{i}\.1\.conv1", rf"{jp}/stage{i}_spp/conv1")
+            rules += _cm_rules(rf"{tp}\.stage{i}\.1\.conv2", rf"{jp}/stage{i}_spp/conv2")
+            rules += csp_layer(rf"{tp}\.stage{i}\.2", rf"{jp}/stage{i}_csp")
+        else:
+            rules += csp_layer(rf"{tp}\.stage{i}\.1", rf"{jp}/stage{i}_csp")
+    return rules
+
+
+def rtmo_rules() -> List[Rule]:
+    rules = csp_darknet_rules(r"backbone", "backbone")
+
+    nk = "neck"
+    rules += [
+        (rf"{nk}\.input_proj\.(\d+)\.conv\.weight", rf"params/{nk}/input_proj_\1/conv/kernel", _conv),
+        *_bn_rules(rf"{nk}\.input_proj\.(\d+)\.bn", rf"{nk}/input_proj_\1/bn"),
+    ]
+    el = rf"{nk}\.encoder\.0\.layers\.(\d+)"
+    elj = rf"{nk}/encoder_0_layers_\1"
+    rules += mha_rules(rf"{el}\.self_attn\.attn", rf"params/{elj}/self_attn")
+    rules += dense_rules(rf"{el}\.ffn\.layers\.0\.0", rf"{elj}/ffn_linear1")
+    rules += dense_rules(rf"{el}\.ffn\.layers\.1", rf"{elj}/ffn_linear2")
+    rules += ln_rules(rf"{el}\.norms\.0", rf"{elj}/norm1")
+    rules += ln_rules(rf"{el}\.norms\.1", rf"{elj}/norm2")
+
+    def neck_csp(t, j):
+        r = []
+        for c in ("conv1", "conv2", "conv3"):
+            r += _cm_rules(rf"{t}\.{c}", rf"{j}/{c}")
+        g = re.compile(t).groups + 1
+        for br in ("branch_3x3", "branch_1x1"):
+            r += [
+                (rf"{t}\.bottlenecks\.(\d+)\.{br}\.conv\.weight", rf"params/{j}/bottlenecks_\{g}/{br}/conv/kernel", _conv),
+                *_bn_rules(rf"{t}\.bottlenecks\.(\d+)\.{br}\.bn", rf"{j}/bottlenecks_\{g}/{br}/bn"),
+            ]
+        return r
+
+    rules += _cm_rules(rf"{nk}\.lateral_convs\.(\d+)", rf"{nk}/lateral_convs_\1")
+    rules += neck_csp(rf"{nk}\.fpn_blocks\.(\d+)", rf"{nk}/fpn_blocks_\1")
+    rules += _cm_rules(rf"{nk}\.downsample_convs\.(\d+)", rf"{nk}/downsample_convs_\1")
+    rules += neck_csp(rf"{nk}\.pan_blocks\.(\d+)", rf"{nk}/pan_blocks_\1")
+    rules += [
+        (rf"{nk}\.projector\.convs\.(\d+)\.conv\.weight", rf"params/{nk}/projector_\1_conv/kernel", _conv),
+        *_bn_rules(rf"{nk}\.projector\.convs\.(\d+)\.bn", rf"{nk}/projector_\1_bn"),
+    ]
+
+    hm = r"head\.head_module"
+    hmj = "head_module"
+    for branch, jb in (("conv_cls", "conv_cls"), ("conv_pose", "conv_pose")):
+        rules += [
+            (rf"{hm}\.{branch}\.(\d+)\.(\d+)\.conv\.weight", rf"params/{hmj}/{jb}_\1_\2_conv/kernel", _conv),
+            *_bn_rules(rf"{hm}\.{branch}\.(\d+)\.(\d+)\.bn", rf"{hmj}/{jb}_\1_\2_bn"),
+        ]
+    for out in ("out_cls", "out_bbox", "out_kpt_reg", "out_kpt_vis", "out_pose"):
+        rules += [
+            (rf"{hm}\.{out}\.(\d+)\.weight", rf"params/{hmj}/{out}_\1/kernel", _conv),
+            (rf"{hm}\.{out}\.(\d+)\.bias", rf"params/{hmj}/{out}_\1/bias", _id),
+        ]
+
+    dcc = r"head\.dcc"
+    dj = "dcc"
+    rules += dense_rules(rf"{dcc}\.x_fc", f"{dj}/x_fc")
+    rules += dense_rules(rf"{dcc}\.y_fc", f"{dj}/y_fc")
+    rules += dense_rules(rf"{dcc}\.pose_to_kpts\.0", f"{dj}/pose_to_kpts_fc")
+    rules += _bn_rules(rf"{dcc}\.pose_to_kpts\.1", f"{dj}/pose_to_kpts_bn")
+    rules += [
+        (rf"{dcc}\.pos_enc", f"params/{dj}/pos_enc", _id),
+        (rf"{dcc}\.gau\.uv\.weight", f"params/{dj}/gau/uv/kernel", _linear),
+        (rf"{dcc}\.gau\.o\.weight", f"params/{dj}/gau/o/kernel", _linear),
+        (rf"{dcc}\.gau\.gamma", f"params/{dj}/gau/gamma", _id),
+        (rf"{dcc}\.gau\.beta", f"params/{dj}/gau/beta", _id),
+        (rf"{dcc}\.gau\.ln\.g", f"params/{dj}/gau/ln_g", _id),
+        (rf"{dcc}\.gau\.res_scale\.scale", f"params/{dj}/gau/res_scale", _id),
+        # training-only sigma head: carried for completeness
+        *dense_rules(rf"{dcc}\.sigma_fc\.0", f"{dj}/sigma_fc"),
+        (rf"{dcc}\.sigma_fc\.2\.scale", f"params/{dj}/sigma_scale", _id),
+    ]
+    return rules
+
+
+FAMILY_RULES["rtmo"] = rtmo_rules

@@ -33,9 +33,9 @@ def make_torch_backbone_cfg(kind: str):
 
         return STDCConfig(size="nano", use_pretrained=False)
     if kind == "csp_darknet":
-        from focoos.nn.backbone.csp_darknet import CSPDarknetConfig
+        from focoos.nn.backbone.csp_darknet import CSPConfig
 
-        return CSPDarknetConfig(size="small", use_pretrained=False)
+        return CSPConfig(size="small", use_pretrained=False)
     raise ValueError(kind)
 
 
@@ -51,9 +51,9 @@ def make_jax_backbone(kind: str):
         cfg = STDCConfig(size="nano", use_pretrained=False)
         return cfg, STDC(config=cfg)
     if kind == "csp_darknet":
-        from focoos_tpu.nn.backbone.csp_darknet import CSPDarknet, CSPDarknetConfig
+        from focoos_tpu.nn.backbone.csp_darknet import CSPConfig, CSPDarknet
 
-        cfg = CSPDarknetConfig(size="small", use_pretrained=False)
+        cfg = CSPConfig(size="small", use_pretrained=False)
         return cfg, CSPDarknet(config=cfg)
     raise ValueError(kind)
 
@@ -239,11 +239,82 @@ def parity_bisenetformer(backbone: str) -> bool:
     return ok and clean
 
 
+def parity_rtmo(backbone: str = "csp_darknet") -> bool:
+    """Compares raw neck+head outputs (pre-NMS) and the DCC decode — the
+    post-NMS pipeline is structurally different (static slots) by design."""
+    import torch
+
+    torch.manual_seed(0)
+    from focoos.models.rtmo.config import RTMOConfig as TC
+    from focoos.models.rtmo.modelling import RTMO as TM
+
+    tcfg = TC(num_classes=1, backbone_config=make_torch_backbone_cfg("csp_darknet"))
+    tmodel = TM(tcfg).eval()
+
+    from focoos_tpu.models.rtmo.config import RTMOConfig
+    from focoos_tpu.models.rtmo.modelling import RTMO
+
+    bcfg, bmodule = make_jax_backbone("csp_darknet")
+    cfg = RTMOConfig(num_classes=1, backbone_config=bcfg)
+    module = RTMO(config=cfg, backbone=bmodule)
+
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(4).integers(0, 255, (2, 256, 256, 3)).astype(np.float32)
+    merged, clean = load_converted(module, "rtmo", tmodel, x)
+    out_j, aux_j = module.apply(merged, jnp.asarray(x), train=False)
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        feats = tmodel.backbone(xt)
+        ms = tmodel.neck(feats)
+        cls_scores, bbox_preds, _, kpt_vis, pose_feats = tmodel.head.head_module(ms)
+
+        def flat(ts, ch):
+            return torch.cat([t.permute(0, 2, 3, 1).reshape(t.shape[0], -1, ch) for t in ts], dim=1)
+
+        t_cls = flat(cls_scores, 1)
+        t_bbox = flat(bbox_preds, 4)
+        t_vis = flat(kpt_vis, tcfg.num_keypoints)
+        t_pose = flat(pose_feats, tcfg.pose_vec_channels)
+
+    ok = True
+    ok &= compare("cls_scores", aux_j.cls_scores, t_cls, tol=5e-3)
+    ok &= compare("bbox_preds", aux_j.bbox_preds, t_bbox, tol=5e-3)
+    ok &= compare("kpt_vis", aux_j.kpt_vis, t_vis, tol=5e-3)
+    ok &= compare("pose_feats", aux_j.pose_feats, t_pose, tol=5e-3)
+
+    # DCC decode parity on synthetic detections
+    from focoos_tpu.models.rtmo.modelling import DCC
+    import jax
+
+    rngd = np.random.default_rng(5)
+    pf = rngd.normal(size=(6, tcfg.pose_vec_channels)).astype(np.float32)
+    boxes = np.abs(rngd.normal(80, 20, (6, 2))).astype(np.float32)
+    centers = rngd.uniform(40, 200, (6, 2)).astype(np.float32)
+    bbox_cs = np.concatenate([centers, boxes], axis=-1)
+    grids = rngd.uniform(0, 250, (6, 2)).astype(np.float32)
+
+    dcc_mod = DCC(cfg)
+    dcc_vars = {
+        "params": merged["params"]["dcc"],
+        "batch_stats": merged["batch_stats"]["dcc"],
+    }
+    kp_j, _ = dcc_mod.apply(dcc_vars, jnp.asarray(pf), jnp.asarray(bbox_cs), jnp.asarray(grids))
+    with torch.no_grad():
+        kp_t = tmodel.head.dcc.forward_test(
+            torch.from_numpy(pf), torch.from_numpy(bbox_cs), torch.from_numpy(grids)
+        )
+    ok &= compare("dcc_keypoints", kp_j, kp_t, tol=5e-3)
+    return ok and clean
+
+
 CHECKS = {
     "fai_detr": parity_fai_detr,
     "fai_cls": parity_fai_cls,
     "fai_mf": parity_fai_mf,
     "bisenetformer": parity_bisenetformer,
+    "rtmo": parity_rtmo,
 }
 
 
