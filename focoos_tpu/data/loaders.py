@@ -1,0 +1,132 @@
+"""Data loaders (reference: focoos/data/loaders.py).
+
+The torch DataLoader worker-process machinery is replaced by a thread-pool
+prefetcher: mapper work is numpy/cv2 (GIL-releasing), batches are assembled
+on host and device_put by the trainer. The infinite ``TrainingSampler``
+shuffle stream is sharded per host (jax.process_index) like the reference's
+rank sharding (loaders.py:61-65)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+import jax
+
+from focoos_tpu.ports import DatasetEntry
+from focoos_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+class TrainingSampler:
+    """Infinite shuffled index stream, sharded across hosts
+    (reference: data/samplers.py:10)."""
+
+    def __init__(self, size: int, shuffle: bool = True, seed: int = 0):
+        self._size = size
+        self._shuffle = shuffle
+        self._seed = seed
+        self._shard = jax.process_index()
+        self._num_shards = jax.process_count()
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.default_rng(self._seed)
+        while True:
+            order = g.permutation(self._size) if self._shuffle else np.arange(self._size)
+            yield from order[self._shard :: self._num_shards].tolist()
+
+
+class InferenceSampler:
+    """Exact one-epoch partition across hosts (reference: data/samplers.py:67)."""
+
+    def __init__(self, size: int):
+        shard = jax.process_index()
+        num = jax.process_count()
+        self._indices = list(range(size))[shard::num]
+
+    def __iter__(self):
+        return iter(self._indices)
+
+    def __len__(self):
+        return len(self._indices)
+
+
+class _Prefetcher:
+    """Thread-pool mapper executor feeding an ordered batch queue."""
+
+    def __init__(self, dataset, sampler, batch_size: int, num_workers: int, collate):
+        self._dataset = dataset
+        self._sampler_iter = iter(sampler)
+        self._batch_size = batch_size
+        self._collate = collate
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._workers = max(1, num_workers)
+        self._threads: List[threading.Thread] = []
+        self._started = False
+
+    def _producer(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self._workers) as pool:
+            while True:
+                idxs = [next(self._sampler_iter) for _ in range(self._batch_size)]
+                entries = list(pool.map(self._dataset.__getitem__, idxs))
+                self._q.put(self._collate(entries))
+
+    def __iter__(self):
+        if not self._started:
+            t = threading.Thread(target=self._producer, daemon=True)
+            t.start()
+            self._threads.append(t)
+            self._started = True
+        while True:
+            yield self._q.get()
+
+
+def build_train_loader(
+    dataset,
+    processor,
+    total_batch_size: int,
+    num_workers: int = 4,
+    seed: int = 0,
+    max_instances: int = 100,
+    shuffle: bool = True,
+):
+    """Infinite preprocessed-batch stream (reference: build_detection_train_loader
+    loaders.py:94). Per-host batch = total / process_count."""
+    per_host = total_batch_size // jax.process_count()
+    assert per_host >= 1, "batch size smaller than host count"
+    sampler = TrainingSampler(len(dataset), shuffle=shuffle, seed=seed)
+
+    def collate(entries: List[DatasetEntry]):
+        batch, targets = processor.preprocess_entries(entries, max_instances=max_instances)
+        return batch, targets
+
+    return _Prefetcher(dataset, sampler, per_host, num_workers, collate)
+
+
+def build_test_loader(dataset, batch_size: int = 8):
+    """One-epoch list-of-entries batches (reference: build_detection_test_loader
+    loaders.py:135)."""
+    sampler = InferenceSampler(len(dataset))
+
+    def gen():
+        batch = []
+        for i in sampler:
+            batch.append(dataset[i])
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+    return gen()
+
+
+def trivial_batch_collator(entries: List[DatasetEntry]) -> List[DatasetEntry]:
+    """(reference: datasets/common.py:46)"""
+    return entries

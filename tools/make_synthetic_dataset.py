@@ -1,0 +1,64 @@
+"""Generate a tiny synthetic Roboflow-COCO dataset (colored shapes) for e2e
+training smoke tests — the offline stand-in for the reference's ops/ suite
+downloads (ops/test_training.py:43-62, which needs network)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+CLASSES = ["circle", "square", "triangle"]
+
+
+def make(root: str, n_train: int = 24, n_val: int = 8, size: int = 320, seed: int = 0):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("valid", n_val)):
+        sdir = os.path.join(root, split)
+        os.makedirs(sdir, exist_ok=True)
+        images, annotations = [], []
+        aid = 1
+        for i in range(n):
+            img = rng.integers(0, 80, (size, size, 3), np.uint8)
+            n_obj = rng.integers(1, 4)
+            for _ in range(n_obj):
+                cls = int(rng.integers(0, len(CLASSES)))
+                s = int(rng.integers(30, 90))
+                x = int(rng.integers(0, size - s))
+                y = int(rng.integers(0, size - s))
+                color = tuple(int(c) for c in rng.integers(120, 255, 3))
+                if cls == 0:
+                    cv2.circle(img, (x + s // 2, y + s // 2), s // 2, color, -1)
+                    seg = [[x + s / 2 + s / 2 * np.cos(t), y + s / 2 + s / 2 * np.sin(t)]
+                           for t in np.linspace(0, 2 * np.pi, 12)]
+                elif cls == 1:
+                    cv2.rectangle(img, (x, y), (x + s, y + s), color, -1)
+                    seg = [[x, y], [x + s, y], [x + s, y + s], [x, y + s]]
+                else:
+                    pts = np.array([[x + s // 2, y], [x, y + s], [x + s, y + s]])
+                    cv2.fillPoly(img, [pts], color)
+                    seg = pts.tolist()
+                annotations.append(
+                    dict(id=aid, image_id=i, category_id=cls + 1, bbox=[x, y, s, s],
+                         area=s * s, iscrowd=0, segmentation=[list(np.array(seg).flatten().astype(float))])
+                )
+                aid += 1
+            fn = f"img_{i:04d}.jpg"
+            cv2.imwrite(os.path.join(sdir, fn), img[:, :, ::-1])
+            images.append(dict(id=i, file_name=fn, height=size, width=size))
+        cats = [dict(id=0, name="shapes", supercategory="none")] + [
+            dict(id=ci + 1, name=c, supercategory="shapes") for ci, c in enumerate(CLASSES)
+        ]
+        with open(os.path.join(sdir, "_annotations.coco.json"), "w") as f:
+            json.dump(dict(images=images, annotations=annotations, categories=cats), f)
+    return root
+
+
+if __name__ == "__main__":
+    import sys
+
+    make(sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_shapes")
+    print("done")
