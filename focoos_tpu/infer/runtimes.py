@@ -1,0 +1,140 @@
+"""Inference runtimes — the XLA engine layer.
+
+Replaces the reference's ONNXRuntime/TensorRT/TorchScript backends
+(focoos/infer/runtimes/): the AOT-compiled XLA executable *is* the engine.
+``XLARuntime`` jit-compiles the exported forward with a persistent
+compilation cache on disk (the analog of the TRT engine cache,
+focoos/infer/runtimes/onnx.py:93-97); ``StableHLORuntime`` executes a
+serialized ``jax.export`` artifact.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from focoos_tpu.ports import COMPILE_CACHE_DIR, LatencyMetrics, RuntimeType
+from focoos_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+def _enable_compile_cache() -> None:
+    import jax
+
+    try:
+        os.makedirs(COMPILE_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", COMPILE_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+class BaseRuntime:
+    """(reference: infer/runtimes/base.py:10)"""
+
+    def __call__(self, images: np.ndarray) -> List[np.ndarray]:
+        raise NotImplementedError
+
+    def benchmark(self, iterations: int = 50, size: int = 640) -> LatencyMetrics:
+        import jax
+
+        x = np.random.randint(0, 255, (1, size, size, 3), np.uint8)
+        for _ in range(3):
+            self(x)
+        times = []
+        for _ in range(iterations):
+            t0 = time.perf_counter()
+            out = self(x)
+            jax.block_until_ready(out) if not isinstance(out, list) else None
+            times.append((time.perf_counter() - t0) * 1000)
+        arr = np.array(times)
+        dev = jax.local_devices()[0]
+        return LatencyMetrics(
+            fps=int(round(1000 / arr.mean())),
+            engine=type(self).__name__,
+            min=round(float(arr.min()), 3),
+            max=round(float(arr.max()), 3),
+            mean=round(float(arr.mean()), 3),
+            std=round(float(arr.std()), 3),
+            im_size=size,
+            device=str(dev.device_kind),
+        )
+
+
+class XLARuntime(BaseRuntime):
+    """jit-compiled params runtime (analog of ONNX_TRT16 / TORCHSCRIPT_32)."""
+
+    def __init__(self, module, variables: Dict[str, Any], output_names: List[str], dtype: Optional[str] = None):
+        import jax
+
+        _enable_compile_cache()
+        self.module = module
+        self.variables = variables
+        self.output_names = output_names
+        self._fns: Dict[Tuple, Callable] = {}
+
+    def _fn(self, shape: Tuple) -> Callable:
+        import jax
+
+        if shape not in self._fns:
+            module = self.module
+
+            @jax.jit
+            def fwd(variables, images):
+                out, _ = module.apply(variables, images, train=False)
+                return out
+
+            self._fns[shape] = fwd
+        return self._fns[shape]
+
+    def __call__(self, images: np.ndarray) -> List[np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(images)
+        out = jax.block_until_ready(self._fn(tuple(x.shape))(self.variables, x))
+        return [np.asarray(getattr(out, n)) for n in self.output_names]
+
+
+class StableHLORuntime(BaseRuntime):
+    """Executes a serialized jax.export artifact (the exchange format —
+    analog of a .onnx file; reference ExportFormat.ONNX)."""
+
+    def __init__(self, artifact_path: str, output_names: List[str]):
+        import jax
+        from jax import export as jax_export
+
+        _enable_compile_cache()
+        with open(artifact_path, "rb") as f:
+            self._exported = jax_export.deserialize(f.read())
+        self.output_names = output_names
+
+    def __call__(self, images: np.ndarray) -> List[np.ndarray]:
+        import jax
+
+        outs = self._exported.call(images)
+        outs = jax.block_until_ready(outs)
+        flat = outs if isinstance(outs, (list, tuple)) else [outs]
+        return [np.asarray(o) for o in flat]
+
+
+def load_runtime(
+    runtime_type: RuntimeType,
+    *,
+    module=None,
+    variables=None,
+    artifact_path: Optional[str] = None,
+    output_names: List[str],
+) -> BaseRuntime:
+    """RuntimeType → runtime factory (reference: infer/runtimes/load_runtime.py:25)."""
+    if runtime_type in (RuntimeType.XLA_TPU_BF16, RuntimeType.XLA_TPU_FP32, RuntimeType.XLA_CPU):
+        assert module is not None and variables is not None
+        return XLARuntime(module, variables, output_names)
+    if runtime_type == RuntimeType.STABLEHLO:
+        assert artifact_path is not None
+        return StableHLORuntime(artifact_path, output_names)
+    raise ValueError(f"Unsupported runtime type: {runtime_type}")
