@@ -1,0 +1,229 @@
+"""focoos-tpu CLI (reference: focoos/cli/cli.py — Typer app; argparse here
+since typer isn't in this image; same verb surface:
+train/val/predict/export/benchmark/hub/checks/settings/version)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Optional
+
+
+def _parse_im_size(s: str):
+    """int or 'H,W' (reference: cli.py:104)."""
+    if "," in s:
+        h, w = s.split(",")
+        return (int(h), int(w))
+    return int(s)
+
+
+def _add_trainer_args(p: argparse.ArgumentParser) -> None:
+    from focoos_tpu.ports import TrainerArgs
+
+    for f in dataclasses.fields(TrainerArgs):
+        if f.name in ("run_name",):
+            continue
+        arg = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(arg, type=lambda x: x.lower() in ("1", "true", "yes"), default=None)
+        elif isinstance(f.default, int):
+            p.add_argument(arg, type=int, default=None)
+        elif isinstance(f.default, float):
+            p.add_argument(arg, type=float, default=None)
+        elif isinstance(f.default, str) or f.default is None:
+            p.add_argument(arg, type=str, default=None)
+
+
+def _build_trainer_args(ns: argparse.Namespace, run_name: str):
+    from focoos_tpu.ports import TrainerArgs
+
+    kwargs = {}
+    for f in dataclasses.fields(TrainerArgs):
+        v = getattr(ns, f.name, None)
+        if v is not None:
+            kwargs[f.name] = v
+    kwargs["run_name"] = run_name
+    return TrainerArgs(**kwargs)
+
+
+def cmd_version(_):
+    print("focoos-tpu 0.1.0")
+
+
+def cmd_checks(_):
+    """System info (reference: cli.py:178 + utils/system.py:159)."""
+    import jax
+
+    import focoos_tpu
+
+    print(f"focoos-tpu: 0.1.0  python: {sys.version.split()[0]}")
+    print(f"jax: {jax.__version__}  backend: {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  device: {d.device_kind} ({d.platform}:{d.id})")
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            print(f"  memory: {stats.get('bytes_limit', 0) / 1e9:.1f} GB")
+    except Exception:
+        pass
+
+
+def cmd_settings(_):
+    from focoos_tpu.config import FOCOOS_CONFIG
+
+    for k, v in dataclasses.asdict(FOCOOS_CONFIG).items():
+        if "key" in k and v:
+            v = v[:4] + "..."
+        print(f"{k} = {v}")
+
+
+def cmd_train(ns):
+    from focoos_tpu.data.auto_dataset import AutoDataset
+    from focoos_tpu.data.default_aug import get_default_by_task
+    from focoos_tpu.model_manager import ModelManager
+    from focoos_tpu.ports import DatasetSplitType, Task
+
+    auto = AutoDataset(ns.dataset, Task(ns.task), ns.dataset_layout)
+    train_augs, val_augs = get_default_by_task(Task(ns.task), resolution=ns.im_size)
+    train_ds = auto.get_split(train_augs, DatasetSplitType.TRAIN)
+    val_ds = auto.get_split(val_augs, DatasetSplitType.VAL)
+
+    model = ModelManager.get(
+        ns.model, num_classes=train_ds.metadata.num_classes, classes=train_ds.metadata.classes,
+        image_size=ns.im_size,
+    )
+    args = _build_trainer_args(ns, ns.run_name or f"{ns.model}-{os.path.basename(ns.dataset)}")
+    result = model.train(args, train_ds, val_ds)
+    print(json.dumps({"run_dir": result["run_dir"], "metrics": result["metrics"]}, indent=2, default=str))
+
+
+def cmd_val(ns):
+    from focoos_tpu.data.auto_dataset import AutoDataset
+    from focoos_tpu.data.default_aug import get_default_by_task
+    from focoos_tpu.model_manager import ModelManager
+    from focoos_tpu.ports import DatasetSplitType, Task, TrainerArgs
+
+    auto = AutoDataset(ns.dataset, Task(ns.task), ns.dataset_layout)
+    _, val_augs = get_default_by_task(Task(ns.task), resolution=ns.im_size)
+    val_ds = auto.get_split(val_augs, DatasetSplitType.VAL)
+    model = ModelManager.get(ns.model, image_size=ns.im_size)
+    results = model.eval(TrainerArgs(run_name="val", batch_size=ns.batch_size or 8), val_ds)
+    print(json.dumps(results, indent=2, default=str))
+
+
+def cmd_predict(ns):
+    """(reference: cli.py:771 + commands/predict.py:71-379)"""
+    from focoos_tpu.model_manager import ModelManager
+
+    model = ModelManager.get(ns.model, image_size=ns.im_size)
+    res = model.infer(ns.source, threshold=ns.threshold, annotate=ns.save)
+    print(json.dumps(res.model_dump(), indent=2, default=str))
+    if ns.save and res.image is not None:
+        from PIL import Image
+
+        out = ns.output or "prediction.jpg"
+        Image.fromarray(res.image).save(out)
+        print(f"saved annotated image → {out}")
+
+
+def cmd_export(ns):
+    from focoos_tpu.model_manager import ModelManager
+    from focoos_tpu.ports import RuntimeType
+
+    model = ModelManager.get(ns.model, image_size=ns.im_size)
+    infer_model = model.export(RuntimeType(ns.runtime), out_dir=ns.output_dir, image_size=ns.im_size)
+    print(f"exported → {infer_model.model_dir}")
+
+
+def cmd_benchmark(ns):
+    from focoos_tpu.model_manager import ModelManager
+
+    model = ModelManager.get(ns.model, image_size=ns.im_size, dtype=ns.dtype)
+    metrics = model.benchmark(iterations=ns.iterations, size=ns.im_size)
+    print(json.dumps(dataclasses.asdict(metrics), indent=2))
+
+
+def cmd_hub(ns):
+    from focoos_tpu.hub.focoos_hub import FocoosHUB
+
+    hub = FocoosHUB(api_key=ns.api_key)
+    if ns.hub_cmd == "models":
+        for m in hub.list_remote_models():
+            print(f"{m.ref}  {m.name}  {m.task}  {m.status}")
+    elif ns.hub_cmd == "datasets":
+        for d in hub.list_remote_datasets():
+            print(d)
+    elif ns.hub_cmd == "download":
+        path = hub.download_model_pth(ns.ref)
+        print(f"downloaded → {path}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("focoos-tpu", description="TPU-native focoos CLI")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("version")
+    sub.add_parser("checks")
+    sub.add_parser("settings")
+
+    p = sub.add_parser("train")
+    p.add_argument("--model", required=True)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--task", default="detection")
+    p.add_argument("--dataset-layout", default="roboflow_coco")
+    p.add_argument("--im-size", type=_parse_im_size, default=640)
+    p.add_argument("--run-name", default=None)
+    _add_trainer_args(p)
+
+    p = sub.add_parser("val")
+    p.add_argument("--model", required=True)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--task", default="detection")
+    p.add_argument("--dataset-layout", default="roboflow_coco")
+    p.add_argument("--im-size", type=_parse_im_size, default=640)
+    p.add_argument("--batch-size", type=int, default=8)
+
+    p = sub.add_parser("predict")
+    p.add_argument("--model", required=True)
+    p.add_argument("--source", required=True, help="image path or URL")
+    p.add_argument("--im-size", type=_parse_im_size, default=None)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--output", default=None)
+
+    p = sub.add_parser("export")
+    p.add_argument("--model", required=True)
+    p.add_argument("--runtime", default="stablehlo")
+    p.add_argument("--im-size", type=_parse_im_size, default=640)
+    p.add_argument("--output-dir", default=None)
+
+    p = sub.add_parser("benchmark")
+    p.add_argument("--model", required=True)
+    p.add_argument("--im-size", type=_parse_im_size, default=640)
+    p.add_argument("--iterations", type=int, default=50)
+    p.add_argument("--dtype", default=None)
+
+    p = sub.add_parser("hub")
+    p.add_argument("hub_cmd", choices=["models", "datasets", "download"])
+    p.add_argument("--ref", default=None)
+    p.add_argument("--api-key", default=None)
+
+    ns = parser.parse_args(argv)
+    {
+        "version": cmd_version,
+        "checks": cmd_checks,
+        "settings": cmd_settings,
+        "train": cmd_train,
+        "val": cmd_val,
+        "predict": cmd_predict,
+        "export": cmd_export,
+        "benchmark": cmd_benchmark,
+        "hub": cmd_hub,
+    }[ns.cmd](ns)
+
+
+if __name__ == "__main__":
+    main()
