@@ -1,0 +1,269 @@
+"""rtmo training criterion — SimOTA assignment + IoU/OKS/vis/MLE/VFL losses.
+
+Re-derivation of the reference (focoos/models/rtmo/loss.py +
+RTMOHead.loss/_get_targets, modelling.py:942-1355) with static shapes:
+
+- SimOTA (dynamic-k, oks indicator, keypoint-centers for widen 0.5) runs
+  fully vectorized per image over the dense [A, N] prior×gt grid —
+  ``dynamic_k`` becomes a rank-mask over the per-gt top-10 cheapest priors.
+- Positives are gathered into a fixed ``P``-slot array per image (validity
+  masked) so the DCC coordinate-classification pass and all loss terms are
+  one static XLA program.
+- ``num_total_samples`` is a global-batch sum → identical to the reference's
+  ``reduce_mean`` across DDP ranks under pjit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from focoos_tpu.models.rtmo.config import RTMOConfig
+from focoos_tpu.models.rtmo.modelling import DCC
+from focoos_tpu.models.rtmo.ports import KeypointTargets, RTMOAuxOutputs
+from focoos_tpu.ops.boxes import box_iou, elementwise_box_iou
+
+INF = 1e8
+EPS = 1e-7
+
+COCO_SIGMAS = jnp.array(
+    [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072, 0.062,
+     0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089]
+)
+
+
+def _kpt_sigmas(k: int) -> jnp.ndarray:
+    return COCO_SIGMAS if k == 17 else jnp.full((k,), 0.05)
+
+
+def pairwise_oks(kpts: jnp.ndarray, gt_kpts: jnp.ndarray, gt_vis: jnp.ndarray, gt_areas: jnp.ndarray) -> jnp.ndarray:
+    """[A, K, 2] × [N, K, 2] → [A, N] OKS (reference PoseOKS :312-358)."""
+    k = kpts.shape[1]
+    d = jnp.sqrt(jnp.sum(jnp.square(kpts[:, None] - gt_kpts[None]), axis=-1) + 1e-12)  # [A, N, K]
+    a = jnp.sqrt(jnp.clip(gt_areas, min=EPS))[None, :, None]
+    d = d / a / (_kpt_sigmas(k)[None, None] * 2)
+    w = gt_vis / jnp.clip(gt_vis.sum(-1, keepdims=True), min=EPS)  # [N, K]
+    return jnp.sum(jnp.exp(-jnp.square(jnp.clip(d, max=50.0)) / 2) * w[None], axis=-1)
+
+
+def simota_assign_single(
+    priors: jnp.ndarray,  # [A, 4] (cx, cy, sx, sy)
+    scores: jnp.ndarray,  # [A, C] sqrt(sigmoid(cls) * sigmoid(obj))
+    boxes: jnp.ndarray,  # [A, 4] decoded xyxy
+    kpts: jnp.ndarray,  # [A, K, 2] decoded
+    kvis: jnp.ndarray,  # [A, K] sigmoid
+    gt: KeypointTargets,  # single-image slices, padded [N]
+    cfg: RTMOConfig,
+    candidate_topk: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """→ (pos_mask [A], gt_idx [A], matched_oks [A])."""
+    a = priors.shape[0]
+    n = gt.labels.shape[0]
+    gvalid = gt.valid
+
+    px, py = priors[:, 0:1], priors[:, 1:2]
+    sx, sy = priors[:, 2:3], priors[:, 3:4]
+
+    # in-gt-box test (reference get_in_gt_and_in_center_info :545)
+    in_gt = (
+        (px - gt.boxes[None, :, 0] > 0) & (py - gt.boxes[None, :, 1] > 0)
+        & (gt.boxes[None, :, 2] - px > 0) & (gt.boxes[None, :, 3] - py > 0)
+    )
+    # center: keypoint-visible mean when enabled, else box center
+    cx = (gt.boxes[:, 0] + gt.boxes[:, 2]) / 2
+    cy = (gt.boxes[:, 1] + gt.boxes[:, 3]) / 2
+    if cfg.widen_factor == 0.5:  # use_keypoints_for_center
+        vs = jnp.clip(gt.keypoints_visible.sum(-1), min=EPS)
+        kx = jnp.sum(gt.keypoints[..., 0] * gt.keypoints_visible, -1) / vs
+        ky = jnp.sum(gt.keypoints[..., 1] * gt.keypoints_visible, -1) / vs
+        has = gt.keypoints_visible.sum(-1) > 0
+        cx = jnp.where(has, kx, cx)
+        cy = jnp.where(has, ky, cy)
+    r = 2.5
+    in_ct = (
+        (px - (cx[None] - r * sx) > 0) & (py - (cy[None] - r * sy) > 0)
+        & ((cx[None] + r * sx) - px > 0) & ((cy[None] + r * sy) - py > 0)
+    )
+    in_gt = in_gt & gvalid[None]
+    in_ct = in_ct & gvalid[None]
+    valid_prior = jnp.any(in_gt | in_ct, axis=1)  # [A]
+    candidate = in_gt & in_ct & valid_prior[:, None]  # [A, N]
+
+    iou, _ = box_iou(boxes, gt.boxes)  # [A, N]
+    oks = pairwise_oks(kpts, gt.keypoints, gt.keypoints_visible, gt.areas)
+
+    # classification BCE cost over classes (reference :503-517)
+    onehot = jax.nn.one_hot(gt.labels, scores.shape[-1])  # [N, C]
+    s = jnp.clip(scores.astype(jnp.float32), EPS, 1 - EPS)
+    bce = -(onehot[None] * jnp.log(s[:, None]) + (1 - onehot[None]) * jnp.log1p(-s[:, None]))
+    cls_cost = bce.sum(-1)  # [A, N]
+
+    cost = 3.0 * (-jnp.log(iou + EPS)) + 3.0 * (-jnp.log(oks + EPS)) + 1.0 * cls_cost
+    cost = jnp.where(candidate, cost, INF)
+
+    # dynamic-k from top-10 OKS over candidates (indicator='oks', :606-614)
+    metric = jnp.where(candidate, oks, 0.0)
+    topk_metric, _ = jax.lax.top_k(metric.T, min(candidate_topk, a))  # [N, topk]
+    dynamic_k = jnp.clip(topk_metric.sum(-1).astype(jnp.int32), 1, candidate_topk)
+
+    # per-gt: mark the dynamic_k cheapest priors
+    neg_cost, idx = jax.lax.top_k(-cost.T, candidate_topk)  # [N, topk]
+    rank_ok = jnp.arange(candidate_topk)[None, :] < dynamic_k[:, None]
+    picked_ok = rank_ok & (-neg_cost < INF / 2) & gvalid[:, None]
+    matching = jnp.zeros((n, a), bool)
+    matching = matching.at[jnp.arange(n)[:, None], idx].max(picked_ok)
+    matching = matching.T  # [A, N]
+
+    # resolve priors matched to multiple gts by min cost (:636-640)
+    multi = matching.sum(1) > 1
+    best_gt = jnp.argmin(cost, axis=1)
+    only_best = jnp.zeros((a, n), bool).at[jnp.arange(a), best_gt].set(True)
+    matching = jnp.where(multi[:, None], matching & only_best, matching)
+
+    pos_mask = matching.any(1)
+    gt_idx = jnp.argmax(matching, axis=1)
+    matched_oks = jnp.take_along_axis(oks, gt_idx[:, None], axis=1)[:, 0]
+    return pos_mask, gt_idx, jnp.where(pos_mask, matched_oks, 0.0)
+
+
+def _gather_positives(pos_mask, gt_idx, matched_oks, p_max: int):
+    """Gather up to p_max positives (by matched metric) into static slots."""
+    score = jnp.where(pos_mask, matched_oks + 1.0, 0.0)
+    vals, sel = jax.lax.top_k(score, p_max)
+    return sel, vals > 0  # [P] prior idx, [P] valid
+
+
+def rtmo_criterion(
+    variables: dict,
+    aux: RTMOAuxOutputs,
+    targets: KeypointTargets,
+    cfg: RTMOConfig,
+    p_max: int = 96,
+) -> Tuple[Dict[str, jnp.ndarray], dict]:
+    """→ (losses, dcc_batch_stats_update). ``variables`` holds the dcc scope."""
+    b, a, c = aux.cls_scores.shape
+    k = cfg.num_keypoints
+    p_max = min(p_max, a)
+
+    priors4 = jnp.concatenate(
+        [aux.priors, aux.strides[:, None], aux.strides[:, None]], axis=-1
+    )  # [A, 4]
+
+    # decode predictions (reference decode_bbox/decode_kpt_reg)
+    xys = aux.bbox_preds[..., :2] * aux.strides[None, :, None] + aux.priors[None]
+    whs = jnp.exp(jnp.clip(aux.bbox_preds[..., 2:], max=20.0)) * aux.strides[None, :, None]
+    boxes = jnp.concatenate([xys - whs / 2, xys + whs / 2], axis=-1)
+    kpt_dec = (
+        aux.kpt_offsets.reshape(b, a, k, 2) * aux.strides[None, :, None, None] + aux.priors[None, :, None, :]
+    )
+
+    cls_sig = jax.nn.sigmoid(jnp.clip(aux.cls_scores, -1e4, 1e4))
+    kvis_sig = jax.nn.sigmoid(jnp.clip(aux.kpt_vis, -1e4, 1e4))
+    assign_scores = jnp.sqrt(cls_sig)  # objectness ≡ 1 (reference :1076)
+
+    def per_image(scores_i, boxes_i, kpts_i, kvis_i, gt_i):
+        pos, gidx, moks = simota_assign_single(
+            priors4, jax.lax.stop_gradient(scores_i), jax.lax.stop_gradient(boxes_i),
+            jax.lax.stop_gradient(kpts_i), jax.lax.stop_gradient(kvis_i), gt_i, cfg
+        )
+        sel, valid = _gather_positives(pos, gidx, moks, p_max)
+        return pos, gidx, moks, sel, valid
+
+    gt_tree = targets
+    pos_mask, gt_idx, matched_oks, sel, sel_valid = jax.lax.stop_gradient(
+        jax.vmap(per_image)(assign_scores, boxes, kpt_dec, kvis_sig, gt_tree)
+    )
+
+    num_pos = jnp.sum(pos_mask.astype(jnp.float32))
+    num_total = jnp.maximum(num_pos, 1.0)
+
+    sel_gt = jnp.take_along_axis(gt_idx, sel, axis=1)  # [B, P] gt per slot
+    vf = sel_valid.astype(jnp.float32)
+
+    # gathered predictions
+    p_boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)  # [B, P, 4]
+    p_kpts = jnp.take_along_axis(kpt_dec, sel[..., None, None], axis=1)  # [B, P, K, 2]
+    p_kvis_logits = jnp.take_along_axis(aux.kpt_vis, sel[..., None], axis=1)
+    p_pose = jnp.take_along_axis(aux.pose_feats, sel[..., None], axis=1)
+    p_prior = jnp.take_along_axis(jnp.broadcast_to(aux.priors[None], (b, a, 2)), sel[..., None], axis=1)
+
+    # gathered gt
+    t_boxes = jnp.take_along_axis(targets.boxes, sel_gt[..., None], axis=1)
+    t_kpts = jnp.take_along_axis(targets.keypoints, sel_gt[..., None, None], axis=1)
+    t_vis = jnp.take_along_axis(targets.keypoints_visible, sel_gt[..., None], axis=1)
+    t_areas = jnp.take_along_axis(targets.areas, sel_gt, axis=1)
+
+    losses: Dict[str, jnp.ndarray] = {}
+
+    # --- bbox IoU loss (square mode, w=5, sum/num_total; reference :666-729)
+    iou = elementwise_box_iou(p_boxes.astype(jnp.float32), t_boxes)
+    iou = jnp.clip(iou, min=1e-16)
+    losses["loss_bbox"] = 5.0 * jnp.sum((1.0 - jnp.square(iou)) * vf) / num_total
+
+    # --- keypoint visibility BCE (w=1, mean; reference loss_vis)
+    bce = jnp.clip(
+        jax.nn.softplus(-p_kvis_logits) * t_vis + jax.nn.softplus(p_kvis_logits) * (1 - t_vis), 0, 50
+    )
+    losses["loss_vis"] = jnp.sum(bce * vf[..., None]) / jnp.maximum(jnp.sum(vf) * k, 1.0)
+
+    # --- OKS loss (linear, norm weights, w=30, mean over positives)
+    d = jnp.sqrt(jnp.sum(jnp.square(p_kpts.astype(jnp.float32) - t_kpts), axis=-1) + 1e-12)  # [B, P, K]
+    areas_c = jnp.clip(t_areas, min=1e-8)
+    d = d / jnp.sqrt(areas_c)[..., None] / (_kpt_sigmas(k)[None, None] * 2)
+    per_kpt_oks = jnp.exp(-jnp.square(jnp.clip(d, max=50.0)) / 2)
+    wsum = jnp.clip(t_vis.sum(-1, keepdims=True), min=1e-8)
+    oks_val = jnp.sum(per_kpt_oks * (t_vis / wsum), axis=-1)
+    losses["loss_oks"] = 30.0 * jnp.sum((1.0 - oks_val) * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+
+    # --- MLE coordinate-classification loss via DCC (w=1.0)
+    cs_scale = (p_boxes[..., 2:] - p_boxes[..., :2]) * 1.25
+    cs_center = (p_boxes[..., 2:] + p_boxes[..., :2]) * 0.5
+    bbox_cs = jax.lax.stop_gradient(jnp.concatenate([cs_center, cs_scale], axis=-1).astype(jnp.float32))
+    dcc = DCC(cfg)
+    dcc_vars = {"params": variables["params"]["dcc"], "batch_stats": variables["batch_stats"]["dcc"]}
+    (kpt_cc, (px_prob, py_prob), sigmas), dcc_updates = dcc.apply(
+        dcc_vars, p_pose, bbox_cs, p_prior.astype(jnp.float32), train=True, mutable=["batch_stats"]
+    )
+    hm_x, hm_y = dcc.target_heatmaps(t_kpts, bbox_cs, jax.lax.stop_gradient(sigmas), t_areas)
+    prob = jnp.sum(px_prob * hm_x, -1) * jnp.sum(py_prob * hm_y, -1)  # [B, P, K]
+    mle = -jnp.log(prob + 1e-4)
+    mle = jnp.nan_to_num(mle) * t_vis
+    losses["loss_mle"] = jnp.sum(jnp.mean(mle, axis=-1) * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+
+    # --- classification varifocal loss over all priors (w=1, sum/num_total)
+    onehot_t = jax.nn.one_hot(jnp.take_along_axis(targets.labels, gt_idx, axis=1), c)
+    # safe pow: matched_oks is exactly 0 at negatives — x**0.5 has an inf
+    # derivative there, which would poison the pullback with 0*inf = NaN
+    oks_pow = jnp.power(jnp.clip(matched_oks, 1e-12, 1.0), cfg.overlaps_power)
+    cls_t = jnp.where(pos_mask[..., None], onehot_t * oks_pow[..., None], 0.0)
+    cls_t = jax.lax.stop_gradient(cls_t)
+    label = (cls_t > 1e-4).astype(jnp.float32)
+    logits = jnp.clip(aux.cls_scores, -10.0, 10.0)
+    weight = 0.75 * jnp.square(jax.nn.sigmoid(logits)) * (1 - label) + cls_t
+    vfl = (jax.nn.softplus(-logits) * cls_t + jax.nn.softplus(logits) * (1 - cls_t)) * weight
+    losses["loss_cls"] = jnp.sum(jnp.nan_to_num(vfl)) / num_total
+
+    losses["num_pos"] = num_pos
+    losses["total"] = sum(v for kname, v in losses.items() if kname.startswith("loss_"))
+    return losses, dcc_updates
+
+
+def make_loss_fn(module, cfg: RTMOConfig):
+    """Pure per-step loss closure for build_train_step."""
+
+    def loss_fn(variables, batch, rng):
+        images, targets = batch
+        (out, aux), new_model_state = module.apply(variables, images, train=True, mutable=["batch_stats"])
+        losses, dcc_updates = rtmo_criterion(
+            {"params": variables["params"], "batch_stats": new_model_state["batch_stats"]}, aux, targets, cfg
+        )
+        # merge dcc batch-stat updates
+        bs = dict(new_model_state["batch_stats"])
+        bs["dcc"] = dcc_updates["batch_stats"]
+        new_model_state = {"batch_stats": bs}
+        total = losses.pop("total")
+        return total, (losses, new_model_state)
+
+    return loss_fn

@@ -266,7 +266,7 @@ class GAUEncoder(nn.Module):
         e = int(self.token_dims * self.expansion_factor)
         # ScaleNorm
         g = self.param("ln_g", nn.initializers.ones, (1,))
-        norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True) * (self.token_dims**-0.5)
+        norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True) + 1e-12) * (self.token_dims**-0.5)
         xn = (x / jnp.clip(norm, min=1e-5).astype(x.dtype)) * g.astype(x.dtype)
 
         uv = nn.Dense(2 * e + self.s, use_bias=False, dtype=self.dtype, name="uv")(xn)
@@ -304,9 +304,9 @@ class DCC(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, pose_feats: jnp.ndarray, bbox_cs: jnp.ndarray, grids: jnp.ndarray):
+    def __call__(self, pose_feats: jnp.ndarray, bbox_cs: jnp.ndarray, grids: jnp.ndarray, train: bool = False):
         """pose_feats [..., C_pose]; bbox_cs [..., 4] (cx, cy, sw, sh);
-        grids [..., 2] → keypoints [..., K, 2] abs coords + (x_hms, y_hms)."""
+        grids [..., 2] → (keypoints [..., K, 2] abs, (x_probs, y_probs), sigmas)."""
         cfg = self.cfg
         K, F = cfg.num_keypoints, cfg.feat_channels_dcc
         xb_np, yb_np = self._bins()
@@ -320,11 +320,16 @@ class DCC(nn.Module):
         x_bins_enc = nn.Dense(F, dtype=self.dtype, name="x_fc")(spe_1d(x_bins, dim_t).astype(jnp.float32))
         y_bins_enc = nn.Dense(F, dtype=self.dtype, name="y_fc")(spe_1d(y_bins, dim_t).astype(jnp.float32))
 
+        # learnable per-keypoint sigma (reference DCC.sigma_fc :467, train only)
+        sigma_scale = self.param("sigma_scale", nn.initializers.constant(0.1), ())
+        sigmas = jax.nn.sigmoid(
+            nn.Dense(K, dtype=self.dtype, name="sigma_fc")(pose_feats).astype(jnp.float32)
+        ) * sigma_scale
+
         # pose features → K keypoint tokens (Linear + BatchNorm1d folded math)
         kf = nn.Dense(F * K, dtype=self.dtype, name="pose_to_kpts_fc")(pose_feats)
-        # BatchNorm1d over the flattened feature dim; in inference uses running
-        # stats. Implement as standard BatchNorm on the last axis.
-        kf = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
+        # BatchNorm1d over the flattened feature dim
+        kf = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                           dtype=self.dtype, name="pose_to_kpts_bn")(kf)
         kf = kf.reshape(*kf.shape[:-1], K, F)
 
@@ -346,7 +351,24 @@ class DCC(nn.Module):
         y_bins_abs = jnp.asarray(yb_np) * scale[..., 1:2] + center[..., 1:2]
         x = jnp.sum(px * x_bins_abs[..., None, :], axis=-1)
         y = jnp.sum(py * y_bins_abs[..., None, :], axis=-1)
-        return jnp.stack([x, y], axis=-1), (x_hms, y_hms)
+        return jnp.stack([x, y], axis=-1), (px, py), sigmas
+
+    def target_heatmaps(self, kpt_targets, bbox_cs, sigmas, areas):
+        """Laplacian target heatmaps (reference :587-623). Pure function of
+        config (bins) — no params."""
+        xb_np, yb_np = self._bins()
+        center, scale = bbox_cs[..., :2], bbox_cs[..., 2:]
+        x_bins = jnp.asarray(xb_np) * scale[..., 0:1] + center[..., 0:1]  # [..., NX]
+        y_bins = jnp.asarray(yb_np) * scale[..., 1:2] + center[..., 1:2]
+        dist_x = jnp.abs(kpt_targets[..., 0:1] - x_bins[..., None, :])  # [..., K, NX]
+        dist_y = jnp.abs(kpt_targets[..., 1:2] - y_bins[..., None, :])
+        a = jnp.clip(jnp.sqrt(jnp.maximum(areas, 0.0)), min=1.0)[..., None, None]
+        s = jnp.clip(sigmas, min=1e-3)[..., None]
+        dist_x = dist_x / a / s
+        dist_y = dist_y / a / s
+        hm_x = jnp.exp(-dist_x / 2) / s
+        hm_y = jnp.exp(-dist_y / 2) / s
+        return hm_x, hm_y
 
 
 # ---------------------------------------------------------------------------
@@ -416,6 +438,26 @@ class RTMO(nn.Module):
             strides=strides,
         )
 
+        if train:
+            # loss path: the criterion consumes raw aux; DCC runs separately
+            # on assigned positives (rtmo/loss.py) — reference RTMOHead.forward
+            # :942-948 skips predict() during training. The DCC submodule must
+            # still be initialized, so bind it on dummy slots.
+            d = 1
+            dummy_pose = jnp.zeros((b, d, aux.pose_feats.shape[-1]), aux.pose_feats.dtype)
+            dummy_cs = jnp.ones((b, d, 4), jnp.float32)
+            dummy_grid = jnp.zeros((b, d, 2), jnp.float32)
+            kp, _, _ = DCC(cfg, dtype=self.dtype, name="dcc")(dummy_pose, dummy_cs, dummy_grid)
+            zeros = jnp.zeros((b, d), jnp.float32)
+            out = RTMOModelOutput(
+                scores=zeros, labels=zeros.astype(jnp.int32), boxes=jnp.zeros((b, d, 4), jnp.float32),
+                boxes_scores=zeros, keypoints=kp,
+                keypoints_scores=jnp.zeros((b, d, cfg.num_keypoints), jnp.float32),
+                keypoints_visible=jnp.zeros((b, d, cfg.num_keypoints), jnp.float32),
+                loss=None,
+            )
+            return out, aux
+
         # ------------------------------------------------------------------
         # static-shape decode (reference RTMOHead.predict :1357-1479)
         scores_all = jax.nn.sigmoid(aux.cls_scores)  # [B, A, C]
@@ -451,7 +493,7 @@ class RTMO(nn.Module):
         cs_center = (sel_boxes[..., 2:] + sel_boxes[..., :2]) * 0.5
         bbox_cs = jnp.concatenate([cs_center, cs_scale], axis=-1)
 
-        keypoints, _hms = DCC(cfg, dtype=self.dtype, name="dcc")(sel_pose, bbox_cs, sel_grids)
+        keypoints, _hms, _sigmas = DCC(cfg, dtype=self.dtype, name="dcc")(sel_pose, bbox_cs, sel_grids)
 
         validf = valid.astype(jnp.float32)
         out = RTMOModelOutput(

@@ -300,7 +300,7 @@ def parity_rtmo(backbone: str = "csp_darknet") -> bool:
         "params": merged["params"]["dcc"],
         "batch_stats": merged["batch_stats"]["dcc"],
     }
-    kp_j, _ = dcc_mod.apply(dcc_vars, jnp.asarray(pf), jnp.asarray(bbox_cs), jnp.asarray(grids))
+    kp_j, _, _ = dcc_mod.apply(dcc_vars, jnp.asarray(pf), jnp.asarray(bbox_cs), jnp.asarray(grids))
     with torch.no_grad():
         kp_t = tmodel.head.dcc.forward_test(
             torch.from_numpy(pf), torch.from_numpy(bbox_cs), torch.from_numpy(grids)
