@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -80,4 +81,116 @@ def ms_deform_attn(
         # weighted sum over sampling points of this level
         w_l = attention_weights[:, :, :, lid].astype(value.dtype)  # [B, Lq, Hh, P]
         out = out + jnp.einsum("blhpd,blhp->blhd", sampled, w_l)
+    return out.reshape(b, lq, hh * d)
+
+
+def ms_deform_attn_separable(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Separable MXU formulation of multi-scale deformable attention.
+
+    TPU gathers lower poorly for these shapes; the bilinear 4-corner sample
+    factorizes into a row interpolation and a column interpolation, each a
+    2-non-zero one-hot weight vector built with vectorized index compares:
+
+        out[q] = wy[q,:] @ V[:, :, d] @ wx[q,:]^T
+
+    Construction cost is O(Lq·P·(H+W)) VPU compares (vs O(Lq·P·H·W) for a
+    flat one-hot) and both contractions run on the MXU.
+    """
+    b, s, hh, d = value.shape
+    lq = sampling_locations.shape[1]
+    p = sampling_locations.shape[4]
+    cdt = value.dtype
+
+    out = jnp.zeros((b, lq, hh, d), dtype=cdt)
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        sl = h * w
+        v_l = value[:, start : start + sl].reshape(b, h, w, hh, d)
+        start += sl
+        loc = sampling_locations[:, :, :, lid]  # [B, Lq, Hh, P, 2]
+        aw = attention_weights[:, :, :, lid].astype(cdt)  # [B, Lq, Hh, P]
+
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = (x - x0).astype(jnp.float32)
+        ty = (y - y0).astype(jnp.float32)
+
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, h), 4)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w), 4)
+
+        def onehot1d(i0, t, iota, n):
+            # weight vector with entries (1-t) at i0 and t at i0+1 (0 if OOB)
+            w0 = jnp.where((i0 >= 0) & (i0 <= n - 1), 1.0 - t, 0.0)
+            w1 = jnp.where((i0 + 1 >= 0) & (i0 + 1 <= n - 1), t, 0.0)
+            i0c = jnp.clip(i0, 0, n - 1).astype(jnp.int32)
+            i1c = jnp.clip(i0 + 1, 0, n - 1).astype(jnp.int32)
+            hit0 = (iota == i0c[..., None]).astype(cdt) * w0[..., None].astype(cdt)
+            hit1 = (iota == i1c[..., None]).astype(cdt) * w1[..., None].astype(cdt)
+            return hit0 + hit1  # [B, Lq, Hh, P, n]
+
+        wy = onehot1d(y0, ty, iota_h, h)
+        wx = onehot1d(x0, tx, iota_w, w)
+        # exact contractions when running in fp32 (parity), fast path in bf16
+        prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+        # fold attention weight into the row factor, contract rows then cols
+        wy = wy * aw[..., None]
+        rows = jnp.einsum("blhpy,byxhd->blhpxd", wy, v_l, precision=prec)  # [B,Lq,Hh,P,W,D]
+        out_l = jnp.einsum("blhpx,blhpxd->blhd", wx, rows, precision=prec)
+        out = out + out_l
+    return out.reshape(b, lq, hh * d)
+
+
+def ms_deform_attn_matmul(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Flat one-hot MXU formulation (see ms_deform_attn_separable for the
+    cheaper factorized variant)."""
+    b, s, hh, d = value.shape
+    lq = sampling_locations.shape[1]
+    p = sampling_locations.shape[4]
+    compute_dtype = value.dtype
+
+    out = jnp.zeros((b, lq, hh, d), dtype=compute_dtype)
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        sl = h * w
+        v_l = value[:, start : start + sl].transpose(0, 2, 1, 3)  # [B, Hh, S_l, D]
+        start += sl
+        loc = sampling_locations[:, :, :, lid]
+        aw = attention_weights[:, :, :, lid]
+
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = (x - x0).astype(compute_dtype)
+        ty = (y - y0).astype(compute_dtype)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, sl), 4)
+        wmat = jnp.zeros((b, lq, hh, p, sl), dtype=compute_dtype)
+        for dy in (0, 1):
+            cy = 1.0 - ty if dy == 0 else ty
+            yi = y0 + dy
+            y_ok = (yi >= 0) & (yi <= h - 1)
+            for dx in (0, 1):
+                cx = 1.0 - tx if dx == 0 else tx
+                xi = x0 + dx
+                ok = y_ok & (xi >= 0) & (xi <= w - 1)
+                idx = (jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)).astype(jnp.int32)
+                coef = jnp.where(ok, (cx * cy).astype(jnp.float32), 0.0).astype(compute_dtype)
+                hit = (iota == idx[..., None]).astype(compute_dtype)
+                wmat = wmat + hit * coef[..., None]
+        wq = jnp.einsum("blhps,blhp->bhls", wmat, aw.astype(compute_dtype))
+        out_l = jnp.einsum("bhls,bhsd->blhd", wq, v_l)
+        out = out + out_l
     return out.reshape(b, lq, hh * d)

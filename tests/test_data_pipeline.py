@@ -1,0 +1,105 @@
+"""Data pipeline tests: transforms, datasets, mappers, loaders."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from focoos_tpu.data import transforms as T
+from focoos_tpu.data.default_aug import DatasetAugmentations, get_default_by_task
+from focoos_tpu.ports import DatasetSplitType, Task
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    from make_synthetic_dataset import make
+
+    root = tmp_path_factory.mktemp("synth")
+    return make(str(root), n_train=6, n_val=3, size=160)
+
+
+def test_hflip_boxes(sample_image):
+    tfm = T.HFlipTransform(width=640)
+    boxes = np.array([[10.0, 20.0, 110.0, 120.0]])
+    out = tfm.apply_box(boxes)
+    np.testing.assert_allclose(out, [[530.0, 20.0, 630.0, 120.0]])
+    img = tfm.apply_image(sample_image)
+    np.testing.assert_array_equal(img[:, 0], sample_image[:, -1])
+
+
+def test_resize_transform_coords():
+    tfm = T.ResizeTransform(100, 200, 50, 100)
+    coords = np.array([[200.0, 100.0]])
+    np.testing.assert_allclose(tfm.apply_coords(coords), [[100.0, 50.0]])
+
+
+def test_crop_and_pad_roundtrip(sample_image):
+    crop = T.CropTransform(10, 20, 100, 50)
+    out = crop.apply_image(sample_image)
+    assert out.shape[:2] == (50, 100)
+    pad = T.PadTransform(5, 5, 5, 5)
+    out2 = pad.apply_image(out)
+    assert out2.shape[:2] == (60, 110)
+
+
+def test_augmentation_pipeline_consistency(sample_image):
+    augs = DatasetAugmentations(resolution=128, horizontal_flip=1.0, square=1.0)
+    pipeline = T.AugmentationList(augs.get_augmentations())
+    boxes = np.array([[10.0, 10.0, 100.0, 100.0]], np.float32)
+    ai = T.AugInput(sample_image.copy(), boxes=boxes)
+    pipeline(ai)
+    assert ai.image.shape[:2] == (128, 128)
+    assert ai.boxes.shape == (1, 4)
+    assert np.all(ai.boxes[:, 2] >= ai.boxes[:, 0])
+
+
+def test_default_presets_cover_all_tasks():
+    for task in Task:
+        train, val = get_default_by_task(task, resolution=320)
+        assert train.resolution == 320
+        assert len(train.get_augmentations(task=task)) >= 1
+
+
+def test_roboflow_coco_parsing(synth_dir):
+    from focoos_tpu.data.datasets import DictDataset
+
+    ds = DictDataset.from_roboflow_coco(os.path.join(synth_dir, "train"), Task.DETECTION)
+    assert len(ds) == 6
+    assert ds.metadata.thing_classes == ["circle", "square", "triangle"]
+    rec = ds[0]
+    assert os.path.isfile(rec["file_name"])
+    assert all("bbox" in a for a in rec["annotations"])
+
+
+def test_auto_dataset_end_to_end(synth_dir):
+    from focoos_tpu.data.auto_dataset import AutoDataset
+
+    auto = AutoDataset(synth_dir, Task.DETECTION)
+    train_augs, _ = get_default_by_task(Task.DETECTION, resolution=96)
+    ds = auto.get_split(train_augs, DatasetSplitType.TRAIN)
+    entry = ds[0]
+    assert entry.image is not None and entry.instances is not None
+    assert len(entry.instances) >= 1
+
+
+def test_train_loader_batches(synth_dir):
+    from focoos_tpu.data.auto_dataset import AutoDataset
+    from focoos_tpu.data.loaders import build_train_loader
+    from focoos_tpu.model_manager import ModelManager
+
+    auto = AutoDataset(synth_dir, Task.DETECTION)
+    train_augs, _ = get_default_by_task(Task.DETECTION, resolution=96)
+    ds = auto.get_split(train_augs, DatasetSplitType.TRAIN)
+    model = ModelManager.get(
+        "fai-detr-m-coco", num_classes=3, image_size=96, num_queries=10, transformer_predictor_dec_layers=2
+    )
+    model.processor.train(True)
+    loader = build_train_loader(ds, model.processor, total_batch_size=2, num_workers=1, max_instances=5)
+    it = iter(loader)
+    batch, targets = next(it)
+    assert batch.shape[0] == 2 and batch.shape[-1] == 3
+    assert targets.labels.shape == (2, 5)
+    model.processor.train(False)

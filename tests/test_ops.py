@@ -1,0 +1,104 @@
+"""Unit tests for compute ops: boxes, matching, NMS, point sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focoos_tpu.ops.boxes import (
+    box_cxcywh_to_xyxy,
+    box_iou,
+    box_xyxy_to_cxcywh,
+    elementwise_box_iou,
+    generalized_box_iou,
+    inverse_sigmoid,
+)
+from focoos_tpu.ops.matching import auction_assign
+from focoos_tpu.ops.nms import nms_keep, topk_nms
+
+
+def test_box_conversions_roundtrip(rng):
+    boxes = jnp.asarray(rng.uniform(0, 1, (10, 4)).astype(np.float32))
+    back = box_xyxy_to_cxcywh(box_cxcywh_to_xyxy(boxes))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(boxes), atol=1e-6)
+
+
+def test_box_iou_identity():
+    b = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [5.0, 5.0, 15.0, 15.0]])
+    iou, _ = box_iou(b, b)
+    np.testing.assert_allclose(np.asarray(jnp.diag(iou)), [1.0, 1.0], atol=1e-6)
+    assert abs(float(iou[0, 1]) - 25.0 / 175.0) < 1e-6
+
+
+def test_elementwise_giou_degenerate_no_nan():
+    z = jnp.zeros((5, 4))
+    g = generalized_box_iou(z, z)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert bool(jnp.all(jnp.isfinite(elementwise_box_iou(z, z))))
+
+
+def test_inverse_sigmoid_inverts():
+    x = jnp.asarray([0.1, 0.5, 0.9])
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(inverse_sigmoid(x))), np.asarray(x), atol=1e-4)
+
+
+def test_auction_matches_scipy(rng):
+    from scipy.optimize import linear_sum_assignment
+
+    for _ in range(5):
+        n = int(rng.integers(2, 30))
+        cost = rng.normal(size=(n, 64)).astype(np.float32) * 5
+        pad = np.zeros((32, 64), np.float32)
+        pad[:n] = cost[:32]
+        valid = np.zeros(32, bool)
+        valid[: min(n, 32)] = True
+        a = np.asarray(auction_assign(jnp.asarray(pad), jnp.asarray(valid)))
+        r, c = linear_sum_assignment(cost[: min(n, 32)])
+        opt = cost[r, c].sum()
+        got = cost[np.arange(min(n, 32)), a[: min(n, 32)]].sum()
+        assert len(set(a[: min(n, 32)].tolist())) == min(n, 32), "duplicate column assignment"
+        assert got <= opt + 0.05 * abs(opt) + 0.1
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60], [0, 0, 10, 10]], jnp.float32
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    keep = np.asarray(nms_keep(boxes, scores, 0.5))
+    assert keep.tolist() == [True, False, True, False]
+
+
+def test_topk_nms_static_output():
+    rng = np.random.default_rng(0)
+    boxes = jnp.asarray(rng.uniform(0, 100, (50, 2)).astype(np.float32))
+    boxes = jnp.concatenate([boxes, boxes + 20], axis=-1)
+    scores = jnp.asarray(rng.uniform(0, 1, 50).astype(np.float32))
+    idx, valid, out_scores = topk_nms(boxes, scores, pre_topk=30, iou_threshold=0.5, max_out=10)
+    assert idx.shape == (10,) and valid.shape == (10,)
+    kept = np.asarray(out_scores)
+    assert np.all(np.diff(kept) <= 1e-6)  # sorted descending
+
+
+def test_point_sample_matches_manual():
+    from focoos_tpu.ops.point_sample import point_sample
+
+    m = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4))
+    # center of pixel (1, 2) in normalized coords: x=(2+0.5)/4, y=(1+0.5)/4
+    coords = jnp.asarray([[[(2 + 0.5) / 4, (1 + 0.5) / 4]]])
+    out = point_sample(m, coords)
+    assert abs(float(out[0, 0]) - 6.0) < 1e-5
+
+
+def test_deformable_matmul_matches_gather(rng):
+    from focoos_tpu.ops.deformable import ms_deform_attn, ms_deform_attn_matmul
+
+    b, lq, hh, d, p = 1, 8, 2, 4, 2
+    shapes = [(6, 6), (3, 3)]
+    s = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(b, s, hh, d)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(0, 1, (b, lq, hh, 2, p, 2)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, (b, lq, hh, 2, p)).astype(np.float32))
+    o1 = np.asarray(ms_deform_attn(value, shapes, loc, w))
+    o2 = np.asarray(ms_deform_attn_matmul(value, shapes, loc, w))
+    np.testing.assert_allclose(o1, o2, atol=1e-4)

@@ -1,0 +1,107 @@
+"""Trainer component tests: events, hooks, solver, checkpointer, evaluators."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focoos_tpu.trainer.events import EventStorage, get_event_storage
+from focoos_tpu.trainer.solver import build_schedule, leaf_hyperparams
+from focoos_tpu.ports import TrainerArgs
+
+
+def test_event_storage_scalars_and_smoothing():
+    with EventStorage(0) as storage:
+        for i in range(30):
+            storage.put_scalar("loss", float(30 - i))
+            storage.step()
+        assert get_event_storage() is storage
+        med = storage.history("loss").median(20)
+        assert 1 <= med <= 30
+        latest = storage.latest()["loss"]
+        assert latest[0] == 1.0
+
+
+def test_schedules():
+    s = build_schedule(
+        "MULTISTEP", 1.0, 100,
+        {"milestones": [0.5], "gamma": 0.1, "warmup_iters": 10, "warmup_factor": 0.001},
+    )
+    assert float(s(jnp.asarray(0))) < 0.2  # warmup
+    assert abs(float(s(jnp.asarray(20))) - 1.0) < 1e-6
+    assert abs(float(s(jnp.asarray(60))) - 0.1) < 1e-6
+    c = build_schedule("COSINE", 1.0, 100, None)
+    assert float(c(jnp.asarray(0))) == 1.0
+    assert float(c(jnp.asarray(100))) < 1e-6
+    p = build_schedule("POLY", 1.0, 100, None)
+    assert 0.0 <= float(p(jnp.asarray(99))) < 0.05
+
+
+def test_leaf_hyperparams_multipliers():
+    params = {
+        "backbone": {"conv": {"kernel": jnp.zeros((3, 3))}},
+        "pixel_decoder": {"lin": {"kernel": jnp.zeros((3, 3))}},
+        "head": {"classifier": {"kernel": jnp.zeros((3, 3))}, "misc": {"kernel": jnp.zeros((3, 3))}},
+        "norm_layer": {"bn": {"scale": jnp.zeros((3,))}},
+    }
+    lr, wd = leaf_hyperparams(params, base_wd=0.01, wd_norm=0.0, backbone_multiplier=0.1,
+                              decoder_multiplier=0.5, head_multiplier=2.0)
+    assert float(lr["backbone"]["conv"]["kernel"]) == pytest.approx(0.1)
+    assert float(lr["pixel_decoder"]["lin"]["kernel"]) == pytest.approx(0.5)
+    assert float(lr["head"]["misc"]["kernel"]) == pytest.approx(2.0)
+    assert float(lr["head"]["classifier"]["kernel"]) == pytest.approx(1.0)  # classifier excluded
+    assert float(wd["norm_layer"]["bn"]["scale"]) == pytest.approx(0.0)
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    from focoos_tpu.trainer.checkpointer import Checkpointer
+
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}, "step": jnp.asarray(7)}
+    ck = Checkpointer(state, str(tmp_path))
+    ck.save("model_0000001", state, iteration=1)
+    assert ck.has_checkpoint()
+    loaded, extra = ck.load(ck.get_checkpoint_file())
+    np.testing.assert_allclose(np.asarray(loaded["params"]["w"]), np.arange(6.0).reshape(2, 3))
+    assert int(extra["iteration"]) == 1
+
+
+def test_semseg_evaluator_perfect_prediction():
+    from focoos_tpu.trainer.evaluation import SemSegEvaluator
+    from focoos_tpu.ports import DatasetEntry
+
+    ev = SemSegEvaluator(num_classes=3)
+    gt = np.random.default_rng(0).integers(0, 3, (32, 32)).astype(np.uint8)
+    entry = DatasetEntry(sem_seg=gt)
+    ev.process([entry], [{"sem_seg": gt}])
+    res = ev.evaluate()["sem_seg"]
+    assert res["mIoU"] == pytest.approx(100.0)
+    assert res["pACC"] == pytest.approx(100.0)
+
+
+def test_detection_evaluator_perfect_and_empty():
+    from focoos_tpu.structures import Boxes, Instances
+    from focoos_tpu.trainer.evaluation import DetectionEvaluator
+    from focoos_tpu.ports import DatasetEntry
+
+    ev = DetectionEvaluator(class_names=["a", "b"])
+    boxes = np.array([[10, 10, 50, 50], [60, 60, 100, 100]], np.float32)
+    gt = Instances((128, 128), boxes=Boxes(boxes), classes=np.array([0, 1]))
+    pred = Instances((128, 128), boxes=Boxes(boxes), classes=np.array([0, 1]), scores=np.array([0.9, 0.8]))
+    ev.process([DatasetEntry(instances=gt, height=128, width=128)], [{"instances": pred}])
+    res = ev.evaluate()["bbox"]
+    assert res["bbox/AP"] == pytest.approx(100.0)
+    assert res["bbox/AP50"] == pytest.approx(100.0)
+
+
+def test_classification_evaluator():
+    from focoos_tpu.trainer.evaluation import ClassificationEvaluator
+    from focoos_tpu.ports import DatasetEntry
+
+    ev = ClassificationEvaluator(num_classes=3)
+    ev.process(
+        [DatasetEntry(label=0), DatasetEntry(label=1)],
+        [{"logits": np.array([0.9, 0.1, 0.1])}, {"logits": np.array([0.2, 0.8, 0.3])}],
+    )
+    res = ev.evaluate()["classification"]
+    assert res["f1"] == pytest.approx(100.0)
