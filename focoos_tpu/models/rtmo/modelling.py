@@ -132,7 +132,7 @@ class DetrEncoderLayer(nn.Module):
         attn = MultiHeadAttention(self.embed_dims, self.num_heads, dtype=self.dtype, name="self_attn")(q, q, x)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
         f = nn.Dense(self.feedforward_channels, dtype=self.dtype, name="ffn_linear1")(x)
-        f = nn.gelu(f)
+        f = nn.gelu(f, approximate=False)
         f = nn.Dense(self.embed_dims, dtype=self.dtype, name="ffn_linear2")(f)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + f)
 

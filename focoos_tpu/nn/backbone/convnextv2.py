@@ -67,7 +67,7 @@ class Block(nn.Module):
                     dtype=self.dtype, name="dwconv")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = GRN(4 * self.dim, name="grn")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
         return inp + x
@@ -84,11 +84,11 @@ class ConvNeXtV2(BaseBackbone):
         outs = {}
         for i in range(4):
             if i == 0:
-                x = nn.Conv(dims[0], (4, 4), strides=(4, 4), dtype=dtype, name="downsample_0_conv")(x)
+                x = nn.Conv(dims[0], (4, 4), strides=(4, 4), padding='VALID', dtype=dtype, name="downsample_0_conv")(x)
                 x = nn.LayerNorm(epsilon=1e-6, name="downsample_0_norm")(x)
             else:
                 x = nn.LayerNorm(epsilon=1e-6, name=f"downsample_{i}_norm")(x)
-                x = nn.Conv(dims[i], (2, 2), strides=(2, 2), dtype=dtype, name=f"downsample_{i}_conv")(x)
+                x = nn.Conv(dims[i], (2, 2), strides=(2, 2), padding='VALID', dtype=dtype, name=f"downsample_{i}_conv")(x)
             for j in range(depths[i]):
                 x = Block(dims[i], dtype=dtype, name=f"stages_{i}_{j}")(x)
             outs[f"res{i + 2}"] = x

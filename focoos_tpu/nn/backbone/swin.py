@@ -136,9 +136,9 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
         b, l, c = x.shape
+        # reference never clamps: features pad up to window multiples (:255-260)
         ws = self.window_size
-        shift = self.shift_size if min(h, w) > ws else 0
-        ws = min(ws, min(h, w)) if min(h, w) <= self.window_size else ws
+        shift = self.shift_size
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(b, h, w, c)
@@ -165,7 +165,7 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
@@ -187,7 +187,7 @@ class Swin(BaseBackbone):
         pad_r = (p - w0 % p) % p
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        x = nn.Conv(embed_dim, (p, p), strides=(p, p), dtype=dtype, name="patch_embed_proj")(x)
+        x = nn.Conv(embed_dim, (p, p), strides=(p, p), padding='VALID', dtype=dtype, name="patch_embed_proj")(x)
         if cfg.patch_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(x)
         hh,ww = x.shape[1], x.shape[2]

@@ -24,7 +24,7 @@ def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
         return lambda x: x
     table = {
         "relu": nn.relu,
-        "gelu": nn.gelu,
+        "gelu": lambda x: nn.gelu(x, approximate=False),
         "silu": nn.silu,
         "swish": nn.silu,
         "glu": nn.glu,

@@ -49,7 +49,9 @@ def apply_rules(state: Dict[str, np.ndarray], rules: List[Rule]) -> Tuple[Dict[s
     out: Dict[str, np.ndarray] = {}
     unmatched: List[str] = []
     for key, val in state.items():
-        if key.endswith(("num_batches_tracked", "dim_t", "x_bins", "y_bins")) or key in ("pixel_mean", "pixel_std"):
+        if key.endswith(
+            ("num_batches_tracked", "dim_t", "x_bins", "y_bins", "relative_position_index")
+        ) or key in ("pixel_mean", "pixel_std"):
             continue
         if "criterion" in key or "anchors" in key or "valid_mask" in key:
             continue
@@ -206,7 +208,13 @@ def csprep_rules(tp: str, jp: str) -> List[Rule]:
 
 def backbone_rules(tp: str, jp: str) -> List[Rule]:
     """All-backbone rule union — name patterns are disjoint across backbones."""
-    return resnet_rules(tp, jp) + stdc_rules(tp, jp)
+    return (
+        resnet_rules(tp, jp)
+        + stdc_rules(tp, jp)
+        + convnextv2_rules(tp, jp)
+        + mobilenet_v2_rules(tp, jp)
+        + swin_rules(tp, jp)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -518,3 +526,87 @@ def rtmo_rules() -> List[Rule]:
 
 
 FAMILY_RULES["rtmo"] = rtmo_rules
+
+
+def convnextv2_rules(tp: str, jp: str) -> List[Rule]:
+    """ConvNeXtV2 (reference layout: downsample_layers.{i}.{0,1}, stages.{i}.{j})."""
+    rules: List[Rule] = [
+        (rf"{tp}\.downsample_layers\.0\.0\.weight", f"params/{jp}/downsample_0_conv/kernel", _conv),
+        (rf"{tp}\.downsample_layers\.0\.0\.bias", f"params/{jp}/downsample_0_conv/bias", _id),
+        *ln_rules(rf"{tp}\.downsample_layers\.0\.1", f"{jp}/downsample_0_norm"),
+    ]
+    for i in (1, 2, 3):
+        rules += [
+            *ln_rules(rf"{tp}\.downsample_layers\.{i}\.0", f"{jp}/downsample_{i}_norm"),
+            (rf"{tp}\.downsample_layers\.{i}\.1\.weight", f"params/{jp}/downsample_{i}_conv/kernel", _conv),
+            (rf"{tp}\.downsample_layers\.{i}\.1\.bias", f"params/{jp}/downsample_{i}_conv/bias", _id),
+        ]
+    blk_t = rf"{tp}\.stages\.(\d+)\.(\d+)"
+    blk_j = rf"{jp}/stages_\1_\2"
+    rules += [
+        (rf"{blk_t}\.dwconv\.weight", rf"params/{blk_j}/dwconv/kernel", _conv),
+        (rf"{blk_t}\.dwconv\.bias", rf"params/{blk_j}/dwconv/bias", _id),
+        *ln_rules(rf"{blk_t}\.norm", rf"{blk_j}/norm"),
+        *dense_rules(rf"{blk_t}\.pwconv1", rf"{blk_j}/pwconv1"),
+        *dense_rules(rf"{blk_t}\.pwconv2", rf"{blk_j}/pwconv2"),
+        (rf"{blk_t}\.grn\.gamma", rf"params/{blk_j}/grn/gamma", lambda w: w.reshape(-1)),
+        (rf"{blk_t}\.grn\.beta", rf"params/{blk_j}/grn/beta", lambda w: w.reshape(-1)),
+    ]
+    return rules
+
+
+def mobilenet_v2_rules(tp: str, jp: str) -> List[Rule]:
+    """MobileNetV2 (reference layout: conv1, layer{i}.{j}.conv.{k})."""
+
+    def conv2d_norm(t, j):
+        return [
+            (rf"{t}\.weight", f"params/{j}_conv/kernel", _conv),
+            *_bn_rules(rf"{t}\.norm", f"{j}_bn"),
+        ]
+
+    rules = conv2d_norm(rf"{tp}\.conv1", f"{jp}/conv1")
+    # layer1 has expand_ratio==1 → only (dw, project); must match before the
+    # generic 3-conv pattern
+    l1_t = rf"{tp}\.layer1\.(\d+)\.conv"
+    l1_j = rf"{jp}/layer1_\1"
+    rules += conv2d_norm(rf"{l1_t}\.0", rf"{l1_j}/dw")
+    rules += [
+        (rf"{l1_t}\.1\.weight", rf"params/{l1_j}/project_conv/kernel", _conv),
+        *_bn_rules(rf"{l1_t}\.1\.norm", rf"{l1_j}/project_bn"),
+    ]
+    base_t = rf"{tp}\.layer(\d+)\.(\d+)\.conv"
+    base_j = rf"{jp}/layer\1_\2"
+    rules += conv2d_norm(rf"{base_t}\.0", rf"{base_j}/expand")
+    rules += conv2d_norm(rf"{base_t}\.1", rf"{base_j}/dw")
+    rules += [
+        (rf"{base_t}\.2\.weight", rf"params/{base_j}/project_conv/kernel", _conv),
+        *_bn_rules(rf"{base_t}\.2\.norm", rf"{base_j}/project_bn"),
+    ]
+    return rules
+
+
+def swin_rules(tp: str, jp: str) -> List[Rule]:
+    rules: List[Rule] = [
+        (rf"{tp}\.patch_embed\.proj\.weight", f"params/{jp}/patch_embed_proj/kernel", _conv),
+        (rf"{tp}\.patch_embed\.proj\.bias", f"params/{jp}/patch_embed_proj/bias", _id),
+        *ln_rules(rf"{tp}\.patch_embed\.norm", f"{jp}/patch_embed_norm"),
+    ]
+    blk_t = rf"{tp}\.layers\.(\d+)\.blocks\.(\d+)"
+    blk_j = rf"{jp}/layers_\1_blocks_\2"
+    rules += [
+        *ln_rules(rf"{blk_t}\.norm1", rf"{blk_j}/norm1"),
+        *ln_rules(rf"{blk_t}\.norm2", rf"{blk_j}/norm2"),
+        *dense_rules(rf"{blk_t}\.attn\.qkv", rf"{blk_j}/attn/qkv"),
+        *dense_rules(rf"{blk_t}\.attn\.proj", rf"{blk_j}/attn/proj"),
+        (rf"{blk_t}\.attn\.relative_position_bias_table",
+         rf"params/{blk_j}/attn/relative_position_bias_table", _id),
+        *dense_rules(rf"{blk_t}\.mlp\.fc1", rf"{blk_j}/mlp_fc1"),
+        *dense_rules(rf"{blk_t}\.mlp\.fc2", rf"{blk_j}/mlp_fc2"),
+    ]
+    rules += [
+        *ln_rules(rf"{tp}\.layers\.(\d+)\.downsample\.norm", rf"{jp}/layers_\1_downsample_norm"),
+        (rf"{tp}\.layers\.(\d+)\.downsample\.reduction\.weight",
+         rf"params/{jp}/layers_\1_downsample_reduction/kernel", _linear),
+        *ln_rules(rf"{tp}\.norm(\d)", rf"{jp}/norm\1"),
+    ]
+    return rules

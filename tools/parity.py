@@ -309,7 +309,75 @@ def parity_rtmo(backbone: str = "csp_darknet") -> bool:
     return ok and clean
 
 
+def parity_backbone(kind: str) -> bool:
+    """Standalone backbone parity (res2..res5 outputs)."""
+    import torch
+
+    torch.manual_seed(0)
+    if kind == "convnextv2":
+        from focoos.nn.backbone.convnextv2 import ConvNeXtV2 as TM, ConvNeXtV2Config as TC
+
+        tcfg = TC(model_size="atto", use_pretrained=False)
+        from focoos_tpu.nn.backbone.convnextv2 import ConvNeXtV2 as JM, ConvNeXtV2Config as JC
+
+        jcfg = JC(model_size="atto", use_pretrained=False)
+    elif kind == "mobilenet_v2":
+        from focoos.nn.backbone.mobilenet_v2 import MobileNetV2 as TM, MobileNetV2Config as TC
+
+        tcfg = TC(use_pretrained=False)
+        from focoos_tpu.nn.backbone.mobilenet_v2 import MobileNetV2 as JM, MobileNetV2Config as JC
+
+        jcfg = JC(use_pretrained=False)
+    elif kind == "swin":
+        from focoos.nn.backbone.swin import Swin as TM, SwinConfig as TC
+
+        tcfg = TC(model_size="tiny", use_pretrained=False, drop_path_rate=0.0)
+        from focoos_tpu.nn.backbone.swin import Swin as JM, SwinConfig as JC
+
+        jcfg = JC(model_size="tiny", use_pretrained=False)
+    else:
+        raise ValueError(kind)
+
+    tmodel = TM(tcfg)
+    tmodel.eval()  # reference Swin.train() returns None, so don't chain
+    jmodule = JM(config=jcfg)
+
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.utils.checkpoint import merge_compatible
+    from focoos_tpu.utils.torch_convert import apply_rules, backbone_rules, expand_mha
+    from focoos_tpu.utils.checkpoint import unflatten_tree
+
+    x = np.random.default_rng(7).normal(size=(2, 112, 112, 3)).astype(np.float32)
+    variables = jmodule.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    state = {f"backbone.{k}": v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    flat, unmatched = apply_rules(state, backbone_rules(r"backbone", "backbone"))
+    flat = expand_mha(flat)
+    # strip the extra 'backbone/' level (standalone module has no wrapper scope)
+    flat = {k.replace("/backbone/", "/", 1): v for k, v in flat.items()}
+    converted = unflatten_tree(flat)
+    if unmatched:
+        print(f"  UNMATCHED ({len(unmatched)}):")
+        for k in unmatched[:10]:
+            print("     ", k)
+    merged, skipped, missing = merge_compatible(dict(variables), converted)
+    if skipped:
+        print(f"  SHAPE-MISMATCH ({len(skipped)}):", skipped[:8])
+    if missing:
+        print(f"  MISSING ({len(missing)}):", missing[:8])
+
+    out_j = jmodule.apply(merged, jnp.asarray(x))
+    with torch.no_grad():
+        out_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ok = True
+    for k in ("res2", "res3", "res4", "res5"):
+        ok &= compare(k, out_j[k], out_t[k].permute(0, 2, 3, 1), tol=5e-3)
+    return ok and not unmatched and not skipped and not missing
+
+
 CHECKS = {
+    "backbone": parity_backbone,
     "fai_detr": parity_fai_detr,
     "fai_cls": parity_fai_cls,
     "fai_mf": parity_fai_mf,
@@ -334,6 +402,10 @@ def main():
             ("fai_cls", "stdc"),
             ("fai_mf", "resnet"),
             ("bisenetformer", "stdc"),
+            ("rtmo", "csp_darknet"),
+            ("backbone", "convnextv2"),
+            ("backbone", "mobilenet_v2"),
+            ("backbone", "swin"),
         ]
     else:
         todo = [(args[0], args[1] if len(args) > 1 else "resnet")]
