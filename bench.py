@@ -67,7 +67,7 @@ def main():
     model = ModelManager.get("fai-detr-l-coco", dtype=dtype)
 
     results = {}
-    batch_sizes = [1, 4, 8, 16, 32] if on_tpu else [1]
+    batch_sizes = [1, 4, 16] if on_tpu else [1]
     iters = 32 if on_tpu else 2
     best_ips = 0.0
     p50_b1 = None

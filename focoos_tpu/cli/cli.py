@@ -146,6 +146,12 @@ def cmd_benchmark(ns):
     print(json.dumps(dataclasses.asdict(metrics), indent=2))
 
 
+def cmd_gradio(ns):
+    from focoos_tpu.cli.gradio_app import launch
+
+    launch(ns.model, image_size=ns.im_size, share=ns.share)
+
+
 def cmd_hub(ns):
     from focoos_tpu.hub.focoos_hub import FocoosHUB
 
@@ -206,6 +212,11 @@ def main(argv=None):
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--dtype", default=None)
 
+    p = sub.add_parser("gradio")
+    p.add_argument("--model", required=True)
+    p.add_argument("--im-size", type=_parse_im_size, default=None)
+    p.add_argument("--share", action="store_true")
+
     p = sub.add_parser("hub")
     p.add_argument("hub_cmd", choices=["models", "datasets", "download"])
     p.add_argument("--ref", default=None)
@@ -221,6 +232,7 @@ def main(argv=None):
         "predict": cmd_predict,
         "export": cmd_export,
         "benchmark": cmd_benchmark,
+        "gradio": cmd_gradio,
         "hub": cmd_hub,
     }[ns.cmd](ns)
 

@@ -1,0 +1,131 @@
+"""Dataset format converters (reference: focoos/data/converters.py).
+
+Supervisely → COCO / sem-seg PNG, dataset resize/clone utilities. Pure
+host-side numpy/PIL code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from focoos_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+def supervisely_to_coco(ann_dir: str, img_dir: str, out_json: str, class_list: Optional[List[str]] = None) -> str:
+    """Convert a Supervisely annotation folder to COCO detection json
+    (reference: converters.py supervisely→COCO)."""
+    classes: Dict[str, int] = {c: i for i, c in enumerate(class_list)} if class_list else {}
+    images, annotations = [], []
+    aid = 1
+    files = sorted(f for f in os.listdir(ann_dir) if f.endswith(".json"))
+    for iid, fn in enumerate(files):
+        with open(os.path.join(ann_dir, fn)) as f:
+            ann = json.load(f)
+        img_name = fn[:-5]  # strip .json
+        h = ann.get("size", {}).get("height")
+        w = ann.get("size", {}).get("width")
+        images.append(dict(id=iid, file_name=img_name, height=h, width=w))
+        for obj in ann.get("objects", []):
+            title = obj.get("classTitle")
+            if title not in classes:
+                if class_list is not None:
+                    continue
+                classes[title] = len(classes)
+            geom = obj.get("points", {}).get("exterior", [])
+            if obj.get("geometryType") == "rectangle" and len(geom) == 2:
+                (x0, y0), (x1, y1) = geom
+                bbox = [min(x0, x1), min(y0, y1), abs(x1 - x0), abs(y1 - y0)]
+                seg = []
+            elif geom:
+                pts = np.asarray(geom, np.float64)
+                x0, y0 = pts.min(0)
+                x1, y1 = pts.max(0)
+                bbox = [float(x0), float(y0), float(x1 - x0), float(y1 - y0)]
+                seg = [pts.flatten().tolist()]
+            else:
+                continue
+            annotations.append(
+                dict(id=aid, image_id=iid, category_id=classes[title], bbox=bbox,
+                     segmentation=seg, area=bbox[2] * bbox[3], iscrowd=0)
+            )
+            aid += 1
+    cats = [dict(id=i, name=c) for c, i in sorted(classes.items(), key=lambda kv: kv[1])]
+    with open(out_json, "w") as f:
+        json.dump(dict(images=images, annotations=annotations, categories=cats), f)
+    logger.info(f"wrote {out_json}: {len(images)} images, {len(annotations)} annotations, {len(cats)} classes")
+    return out_json
+
+
+def supervisely_to_semseg_masks(ann_dir: str, out_dir: str, class_list: List[str]) -> str:
+    """Rasterize Supervisely polygon annotations to class-index PNG masks."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    class_idx = {c: i for i, c in enumerate(class_list)}
+    for fn in sorted(os.listdir(ann_dir)):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(ann_dir, fn)) as f:
+            ann = json.load(f)
+        h = ann["size"]["height"]
+        w = ann["size"]["width"]
+        mask = np.full((h, w), 255, np.uint8)
+        for obj in ann.get("objects", []):
+            ci = class_idx.get(obj.get("classTitle"))
+            if ci is None:
+                continue
+            pts = np.asarray(obj.get("points", {}).get("exterior", []), np.int32)
+            if len(pts) >= 3:
+                cv2.fillPoly(mask, [pts], int(ci))
+        base = os.path.splitext(fn[:-5])[0]
+        cv2.imwrite(os.path.join(out_dir, base + "_mask.png"), mask)
+    return out_dir
+
+
+def resize_dataset(src_dir: str, dst_dir: str, max_size: int = 1024) -> str:
+    """Clone a roboflow-coco dataset with images resized to max_size on the
+    long edge, rescaling annotations (reference: converters.py resize utils)."""
+    import cv2
+
+    for split in os.listdir(src_dir):
+        sdir = os.path.join(src_dir, split)
+        if not os.path.isdir(sdir):
+            continue
+        ddir = os.path.join(dst_dir, split)
+        os.makedirs(ddir, exist_ok=True)
+        ann_path = os.path.join(sdir, "_annotations.coco.json")
+        if not os.path.isfile(ann_path):
+            shutil.copytree(sdir, ddir, dirs_exist_ok=True)
+            continue
+        with open(ann_path) as f:
+            coco = json.load(f)
+        scale_by_img: Dict[int, float] = {}
+        for img in coco["images"]:
+            path = os.path.join(sdir, img["file_name"])
+            im = cv2.imread(path)
+            if im is None:
+                continue
+            h, w = im.shape[:2]
+            scale = min(1.0, max_size / max(h, w))
+            scale_by_img[img["id"]] = scale
+            if scale < 1.0:
+                im = cv2.resize(im, (int(w * scale), int(h * scale)), interpolation=cv2.INTER_AREA)
+                img["height"], img["width"] = im.shape[:2]
+            cv2.imwrite(os.path.join(ddir, img["file_name"]), im)
+        for a in coco["annotations"]:
+            s = scale_by_img.get(a["image_id"], 1.0)
+            if s < 1.0:
+                a["bbox"] = [v * s for v in a["bbox"]]
+                a["area"] = a.get("area", 0) * s * s
+                if isinstance(a.get("segmentation"), list):
+                    a["segmentation"] = [[v * s for v in poly] for poly in a["segmentation"]]
+        with open(os.path.join(ddir, "_annotations.coco.json"), "w") as f:
+            json.dump(coco, f)
+    return dst_dir

@@ -39,6 +39,10 @@ class ClassificationProcessor(Processor):
             raise ValueError("training preprocess expects a list of DatasetEntry")
         return self.get_batch(inputs, self._target_size()), None
 
+    def preprocess_entries(self, entries, max_instances: int = 0):
+        """Loader entry point (max_instances is unused for classification)."""
+        return self.preprocess(entries)
+
     def postprocess(
         self,
         output: ClassificationModelOutput,

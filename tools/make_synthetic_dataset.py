@@ -62,3 +62,63 @@ if __name__ == "__main__":
 
     make(sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_shapes")
     print("done")
+
+
+def make_cls(root: str, n_per_class: int = 8, size: int = 128, seed: int = 0):
+    """Folder-per-class classification dataset."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_per_class), ("valid", max(2, n_per_class // 3))):
+        for ci, cname in enumerate(CLASSES):
+            cdir = os.path.join(root, split, cname)
+            os.makedirs(cdir, exist_ok=True)
+            for i in range(n):
+                img = rng.integers(0, 80, (size, size, 3), np.uint8)
+                s = int(rng.integers(40, 90))
+                x, y = int(rng.integers(0, size - s)), int(rng.integers(0, size - s))
+                color = tuple(int(c) for c in rng.integers(120, 255, 3))
+                if ci == 0:
+                    cv2.circle(img, (x + s // 2, y + s // 2), s // 2, color, -1)
+                elif ci == 1:
+                    cv2.rectangle(img, (x, y), (x + s, y + s), color, -1)
+                else:
+                    cv2.fillPoly(img, [np.array([[x + s // 2, y], [x, y + s], [x + s, y + s]])], color)
+                cv2.imwrite(os.path.join(cdir, f"{cname}_{i:03d}.jpg"), img[:, :, ::-1])
+    return root
+
+
+def make_semseg(root: str, n_train: int = 12, n_val: int = 4, size: int = 160, seed: int = 0):
+    """Roboflow-seg layout: image + *_mask.png + _classes.csv."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("valid", n_val)):
+        sdir = os.path.join(root, split)
+        os.makedirs(sdir, exist_ok=True)
+        with open(os.path.join(sdir, "_classes.csv"), "w") as f:
+            f.write("Pixel Value, Class\n")
+            f.write("0, background\n")
+            for ci, c in enumerate(CLASSES):
+                f.write(f"{ci + 1}, {c}\n")
+        for i in range(n):
+            img = rng.integers(0, 80, (size, size, 3), np.uint8)
+            mask = np.zeros((size, size), np.uint8)
+            for _ in range(rng.integers(1, 4)):
+                cls = int(rng.integers(0, len(CLASSES)))
+                s = int(rng.integers(30, 70))
+                x, y = int(rng.integers(0, size - s)), int(rng.integers(0, size - s))
+                color = tuple(int(c) for c in rng.integers(120, 255, 3))
+                if cls == 0:
+                    cv2.circle(img, (x + s // 2, y + s // 2), s // 2, color, -1)
+                    cv2.circle(mask, (x + s // 2, y + s // 2), s // 2, cls + 1, -1)
+                elif cls == 1:
+                    cv2.rectangle(img, (x, y), (x + s, y + s), color, -1)
+                    cv2.rectangle(mask, (x, y), (x + s, y + s), cls + 1, -1)
+                else:
+                    pts = np.array([[x + s // 2, y], [x, y + s], [x + s, y + s]])
+                    cv2.fillPoly(img, [pts], color)
+                    cv2.fillPoly(mask, [pts], cls + 1)
+            cv2.imwrite(os.path.join(sdir, f"img_{i:04d}.jpg"), img[:, :, ::-1])
+            cv2.imwrite(os.path.join(sdir, f"img_{i:04d}_mask.png"), mask)
+    return root
