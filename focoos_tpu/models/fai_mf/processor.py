@@ -74,7 +74,8 @@ class MaskFormerProcessor(Processor):
             return batch, None
         b = len(entries)
         h, w = batch.shape[1:3]
-        hm, wm = h // mask_stride, w // mask_stride
+        # conv stride chains produce ceil(h/stride) maps (padded convs)
+        hm, wm = -(-h // mask_stride), -(-w // mask_stride)
         labels = np.zeros((b, max_instances), np.int32)
         masks = np.zeros((b, max_instances, hm, wm), np.float32)
         valid = np.zeros((b, max_instances), bool)

@@ -1,0 +1,78 @@
+"""Pallas TPU kernel for the greedy NMS sweep.
+
+The XLA formulation (focoos_tpu/ops/nms.py) runs the sequential suppression
+as a ``lax.fori_loop`` of K tiny steps — each step is a separate fusion with
+loop-carried state in HBM. This kernel keeps the [K, K] IoU-overlap matrix
+and the keep-vector in VMEM and runs the whole sweep inside one kernel
+launch; each step is a masked row-reduce on the VPU.
+
+Falls back transparently to the XLA path on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from focoos_tpu.ops.boxes import box_iou
+
+
+def _nms_sweep_kernel(overlap_ref, valid_ref, keep_ref):
+    """overlap: [K, K] float (1.0 where IoU>thr), valid: [1, K] float,
+    keep out: [1, K] float."""
+    from jax.experimental import pallas as pl
+
+    k = overlap_ref.shape[0]
+    keep_ref[:] = valid_ref[:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def body(i, _):
+        # suppressed if any kept earlier box overlaps box i
+        row = overlap_ref[pl.ds(i, 1), :]  # [1, K]
+        earlier = (iota < i).astype(row.dtype)
+        hit = jnp.sum(row * keep_ref[:] * earlier)
+        suppress = (iota == i) & (hit > 0)
+        keep_ref[:] = jnp.where(suppress, 0.0, keep_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",))
+def nms_keep_pallas(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.65) -> jnp.ndarray:
+    """Greedy NMS over score-sorted candidates → keep mask [K] (bool).
+
+    Same contract as focoos_tpu.ops.nms.nms_keep.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = boxes.shape[0]
+    iou, _ = box_iou(boxes.astype(jnp.float32), boxes.astype(jnp.float32))
+    overlap = (iou > iou_threshold).astype(jnp.float32)
+    valid = (scores > 0).astype(jnp.float32)[None, :]  # [1, K]
+
+    keep = pl.pallas_call(
+        _nms_sweep_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(overlap, valid)
+    return keep[0] > 0
+
+
+def nms_keep_best(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.65) -> jnp.ndarray:
+    """Backend dispatch: Pallas sweep on TPU, XLA loop elsewhere."""
+    from focoos_tpu.ops.nms import nms_keep
+
+    if jax.default_backend() in ("tpu",):
+        try:
+            return nms_keep_pallas(boxes, scores, iou_threshold)
+        except Exception:  # pragma: no cover - conservative fallback
+            return nms_keep(boxes, scores, iou_threshold)
+    return nms_keep(boxes, scores, iou_threshold)

@@ -42,17 +42,9 @@ def bbox_iou_matrix(dt_boxes: np.ndarray, gt_boxes: np.ndarray, gt_crowd: np.nda
 
 
 def mask_iou_matrix(dt_masks: Sequence[np.ndarray], gt_masks: Sequence[np.ndarray], gt_crowd: np.ndarray) -> np.ndarray:
-    d, g = len(dt_masks), len(gt_masks)
-    out = np.zeros((d, g))
-    if d == 0 or g == 0:
-        return out
-    dt = np.stack([m.reshape(-1) for m in dt_masks]).astype(np.float32)
-    gt = np.stack([m.reshape(-1) for m in gt_masks]).astype(np.float32)
-    inter = dt @ gt.T
-    a_d = dt.sum(1)[:, None]
-    a_g = gt.sum(1)[None, :]
-    union = np.where(gt_crowd[None, :], a_d, a_d + a_g - inter)
-    return inter / np.maximum(union, 1e-9)
+    from focoos_tpu.utils.native import mask_iou
+
+    return mask_iou(dt_masks, gt_masks, gt_crowd).astype(np.float64)
 
 
 # COCO keypoint sigmas (person)

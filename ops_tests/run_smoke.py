@@ -98,7 +98,20 @@ def smoke_bisenet(tmp):
     )
 
 
-SMOKES = {"detr": smoke_detr, "cls": smoke_cls, "mf": smoke_mf, "bisenet": smoke_bisenet}
+def smoke_rtmo(tmp):
+    from make_synthetic_dataset import make_keypoints
+
+    from focoos_tpu.ports import Task
+
+    d = make_keypoints(os.path.join(tmp, "kpt"), n_train=8, n_val=4, size=192)
+    return _common(
+        Task.KEYPOINT, d, "rtmo-s-coco",
+        dict(transformer_encoder_layers=1, nms_pre_topk=50, max_detections=10),
+        res=128,
+    )
+
+
+SMOKES = {"detr": smoke_detr, "cls": smoke_cls, "mf": smoke_mf, "bisenet": smoke_bisenet, "rtmo": smoke_rtmo}
 
 
 def main():

@@ -122,3 +122,45 @@ def make_semseg(root: str, n_train: int = 12, n_val: int = 4, size: int = 160, s
             cv2.imwrite(os.path.join(sdir, f"img_{i:04d}.jpg"), img[:, :, ::-1])
             cv2.imwrite(os.path.join(sdir, f"img_{i:04d}_mask.png"), mask)
     return root
+
+
+def make_keypoints(root: str, n_train: int = 10, n_val: int = 4, size: int = 192, seed: int = 0, k: int = 17):
+    """COCO-keypoints-style roboflow dataset (one 'person' class)."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("valid", n_val)):
+        sdir = os.path.join(root, split)
+        os.makedirs(sdir, exist_ok=True)
+        images, annotations = [], []
+        aid = 1
+        for i in range(n):
+            img = rng.integers(0, 80, (size, size, 3), np.uint8)
+            for _ in range(int(rng.integers(1, 3))):
+                s = int(rng.integers(60, 120))
+                x, y = int(rng.integers(0, size - s)), int(rng.integers(0, size - s))
+                color = tuple(int(c) for c in rng.integers(120, 255, 3))
+                cv2.rectangle(img, (x, y), (x + s, y + s), color, -1)
+                kpts = []
+                for _k in range(k):
+                    kx = int(rng.integers(x, x + s))
+                    ky = int(rng.integers(y, y + s))
+                    vis = int(rng.integers(1, 3))
+                    cv2.circle(img, (kx, ky), 2, (255, 255, 255), -1)
+                    kpts += [kx, ky, vis]
+                annotations.append(
+                    dict(id=aid, image_id=i, category_id=1, bbox=[x, y, s, s], area=s * s,
+                         iscrowd=0, keypoints=kpts, num_keypoints=k)
+                )
+                aid += 1
+            fn = f"img_{i:04d}.jpg"
+            cv2.imwrite(os.path.join(sdir, fn), img[:, :, ::-1])
+            images.append(dict(id=i, file_name=fn, height=size, width=size))
+        cats = [
+            dict(id=0, name="people", supercategory="none"),
+            dict(id=1, name="person", supercategory="people",
+                 keypoints=[f"kp{j}" for j in range(k)], skeleton=[[j, j + 1] for j in range(1, k)]),
+        ]
+        with open(os.path.join(sdir, "_annotations.coco.json"), "w") as f:
+            json.dump(dict(images=images, annotations=annotations, categories=cats), f)
+    return root
