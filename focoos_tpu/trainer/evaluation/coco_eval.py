@@ -237,14 +237,17 @@ class CocoStyleEvaluator:
         def mean_or_nan(vals):
             return float(np.mean(vals)) * 100 if vals else float("nan")
 
-        results[f"{prefix}/AP"] = mean_or_nan(ap_all_cls["all"])
-        results[f"{prefix}/AP50"] = mean_or_nan(ap50_cls)
-        results[f"{prefix}/AP75"] = mean_or_nan(ap75_cls)
-        results[f"{prefix}/APs"] = mean_or_nan(ap_all_cls["small"])
-        results[f"{prefix}/APm"] = mean_or_nan(ap_all_cls["medium"])
-        results[f"{prefix}/APl"] = mean_or_nan(ap_all_cls["large"])
+        # Bare keys: callers namespace the dict under "bbox"/"segm"/"keypoints",
+        # so these flatten to e.g. "bbox/AP" in the event storage — the exact
+        # name BestCheckpointer / EarlyStopping / TASK_METRICS watch.
+        results["AP"] = mean_or_nan(ap_all_cls["all"])
+        results["AP50"] = mean_or_nan(ap50_cls)
+        results["AP75"] = mean_or_nan(ap75_cls)
+        results["APs"] = mean_or_nan(ap_all_cls["small"])
+        results["APm"] = mean_or_nan(ap_all_cls["medium"])
+        results["APl"] = mean_or_nan(ap_all_cls["large"])
         if self.class_names:
             for c, ap in per_class_ap.items():
                 if c < len(self.class_names):
-                    results[f"{prefix}/AP-{self.class_names[c]}"] = ap * 100
+                    results[f"AP-{self.class_names[c]}"] = ap * 100
         return results

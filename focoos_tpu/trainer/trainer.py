@@ -32,9 +32,9 @@ logger = get_logger(__name__)
 
 TASK_METRICS = {
     Task.DETECTION: "bbox/AP",
-    Task.SEMSEG: "mIoU",
+    Task.SEMSEG: "sem_seg/mIoU",
     Task.INSTANCE_SEGMENTATION: "segm/AP",
-    Task.CLASSIFICATION: "f1",
+    Task.CLASSIFICATION: "classification/f1",
     Task.KEYPOINT: "keypoints/AP",
 }
 
@@ -219,12 +219,13 @@ class FocoosTrainer:
         ckpt_dir = args.ckpt_dir or os.path.join(self.run_dir, "ckpt")
         checkpointer = Checkpointer(state, ckpt_dir)
         start_iter = 0
+        resume_extra = {}
         if args.resume:
             loaded, ok = checkpointer.resume_or_load(None, resume=True)
             if ok:
-                (state, extra), _ = loaded, None
+                state, resume_extra = loaded
                 state = replicate(state, mesh)
-                start_iter = int(extra.get("iteration", -1)) + 1
+                start_iter = int(resume_extra.get("iteration", -1)) + 1
                 logger.info(f"Resumed from iteration {start_iter}")
 
         loop = TrainerLoop(
@@ -236,8 +237,8 @@ class FocoosTrainer:
             gather_metric_period=args.gather_metric_period,
         )
         self._register_hooks(loop, checkpointer, schedule)
-        if args.resume and start_iter > 0:
-            pass  # hook states restored via checkpoint extra if present
+        if args.resume and start_iter > 0 and isinstance(resume_extra.get("hooks"), dict):
+            loop.load_hook_state_dict(resume_extra["hooks"])
 
         self._set_status(ModelStatus.TRAINING_RUNNING)
         try:

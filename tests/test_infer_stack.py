@@ -1,0 +1,77 @@
+"""Infer/export/quantizer tests (reference model: tests/test_infer_model.py,
+tests/test_runtime.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from focoos_tpu.model_manager import ModelManager
+from focoos_tpu.ports import RuntimeType
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return ModelManager.get(
+        "fai-detr-m-coco", num_classes=3, image_size=96, num_queries=10,
+        transformer_predictor_dec_layers=2,
+    )
+
+
+def test_export_params_and_reload(tiny_model, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("export"))
+    infer_model = tiny_model.export(RuntimeType.XLA_CPU, out_dir=out, image_size=96)
+    assert os.path.isfile(os.path.join(out, "model_final.npz"))
+    assert os.path.isfile(os.path.join(out, "model_info.json"))
+    img = np.random.randint(0, 255, (96, 96, 3), np.uint8)
+    res = infer_model.infer(img, threshold=0.0)
+    assert len(res.detections) > 0
+    assert res.latency.inference is not None
+
+
+def test_export_stablehlo_roundtrip(tiny_model, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("hlo"))
+    infer_model = tiny_model.export(RuntimeType.STABLEHLO, out_dir=out, image_size=96)
+    assert os.path.isfile(os.path.join(out, "model.stablehlo"))
+    img = np.random.randint(0, 255, (96, 96, 3), np.uint8)
+    res = infer_model([img], threshold=0.0)[0]
+    assert len(res.detections) > 0
+
+
+def test_stablehlo_missing_artifact_raises(tiny_model, tmp_path_factory):
+    from focoos_tpu.infer.infer_model import InferModel
+
+    out = str(tmp_path_factory.mktemp("noartifact"))
+    tiny_model.save_weights(os.path.join(out, "model_final.npz"))
+    tiny_model.model_info.dump_json(out)
+    with pytest.raises(FileNotFoundError):
+        InferModel(out, RuntimeType.STABLEHLO)
+
+
+def test_quantizer_roundtrip(tiny_model, tmp_path_factory):
+    from focoos_tpu.infer.quantizer import Quantizer
+
+    out = str(tmp_path_factory.mktemp("quant"))
+    q = Quantizer(tiny_model)
+    path = q.quantize(out)
+    assert os.path.isfile(path)
+    assert os.path.isfile(os.path.join(out, "quant_report.txt"))
+    fp_size = os.path.getsize(os.path.join(out, "model_info.json"))  # just exists
+    original = tiny_model.variables
+    Quantizer.load_quantized(tiny_model, path)
+    img = np.random.randint(0, 255, (96, 96, 3), np.uint8)
+    res = tiny_model.infer(img, threshold=0.0)
+    assert len(res.detections) > 0
+    tiny_model.variables = original
+    tiny_model._fwd_cache.clear()
+
+
+def test_weight_save_load_roundtrip(tiny_model, tmp_path_factory):
+    import jax
+
+    out = str(tmp_path_factory.mktemp("weights"))
+    p = tiny_model.save_weights(os.path.join(out, "model_final.npz"))
+    before = jax.tree.leaves(tiny_model.variables["params"])[0]
+    tiny_model.load_weights(p, strict=True)
+    after = jax.tree.leaves(tiny_model.variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after))

@@ -90,8 +90,8 @@ def test_detection_evaluator_perfect_and_empty():
     pred = Instances((128, 128), boxes=Boxes(boxes), classes=np.array([0, 1]), scores=np.array([0.9, 0.8]))
     ev.process([DatasetEntry(instances=gt, height=128, width=128)], [{"instances": pred}])
     res = ev.evaluate()["bbox"]
-    assert res["bbox/AP"] == pytest.approx(100.0)
-    assert res["bbox/AP50"] == pytest.approx(100.0)
+    assert res["AP"] == pytest.approx(100.0)
+    assert res["AP50"] == pytest.approx(100.0)
 
 
 def test_classification_evaluator():
