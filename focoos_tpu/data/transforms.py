@@ -208,6 +208,42 @@ class RotationTransform(Transform):
         )
 
 
+class ExtentTransform(Transform):
+    """Crop a (possibly out-of-bounds) subrect and resample to a fixed output
+    size; out-of-source pixels read 0 (reference: transform.py ExtentTransform
+    via PIL Image.EXTENT)."""
+
+    def __init__(self, src_rect, output_size):
+        self.src_rect = tuple(float(v) for v in src_rect)  # x0, y0, x1, y1
+        self.output_size = (int(output_size[0]), int(output_size[1]))  # h, w
+
+    def apply_image(self, img):
+        x0, y0, x1, y1 = self.src_rect
+        out_h, out_w = self.output_size
+        # source coordinate of each output pixel center (nearest sampling)
+        xs = x0 + (np.arange(out_w) + 0.5) * (x1 - x0) / out_w
+        ys = y0 + (np.arange(out_h) + 0.5) * (y1 - y0) / out_h
+        xi = np.floor(xs).astype(np.int64)
+        yi = np.floor(ys).astype(np.int64)
+        h, w = img.shape[:2]
+        valid = (yi[:, None] >= 0) & (yi[:, None] < h) & (xi[None, :] >= 0) & (xi[None, :] < w)
+        out_shape = (out_h, out_w) + img.shape[2:]
+        out = np.zeros(out_shape, img.dtype)
+        yc = np.clip(yi, 0, h - 1)
+        xc = np.clip(xi, 0, w - 1)
+        sampled = img[yc[:, None], xc[None, :]]
+        out[valid] = sampled[valid]
+        return out
+
+    def apply_coords(self, coords):
+        x0, y0, x1, y1 = self.src_rect
+        out_h, out_w = self.output_size
+        coords = coords.astype(np.float64).copy()
+        coords[:, 0] = (coords[:, 0] - x0) * out_w / max(x1 - x0, 1e-9)
+        coords[:, 1] = (coords[:, 1] - y0) * out_h / max(y1 - y0, 1e-9)
+        return coords
+
+
 class BlendTransform(Transform):
     """dst = src_weight * src_image + dst_weight * img (color jitter carrier)."""
 
@@ -640,3 +676,43 @@ class RandomAspectRatio(Augmentation):
         h, w = image.shape[:2]
         r = _rand(*self.ratio_range)
         return ResizeTransform(h, w, h, int(w * r + 0.5))
+
+
+class RandomExtent(Augmentation):
+    """Random scaled/shifted subrect crop with zero padding outside the source
+    (reference :934-983): the rect starts centered at the image, is scaled by
+    Uniform(scale_range) and shifted by shift_range * size * Uniform(-.5, .5).
+    """
+
+    def __init__(self, scale_range: Tuple[float, float], shift_range: Tuple[float, float]):
+        self.scale_range = scale_range
+        self.shift_range = shift_range
+
+    def get_transform(self, image):
+        h, w = image.shape[:2]
+        rect = np.array([-0.5 * w, -0.5 * h, 0.5 * w, 0.5 * h])
+        rect *= _rand(*self.scale_range)
+        rect[0::2] += self.shift_range[0] * w * (np.random.rand() - 0.5)
+        rect[1::2] += self.shift_range[1] * h * (np.random.rand() - 0.5)
+        rect[0::2] += 0.5 * w
+        rect[1::2] += 0.5 * h
+        return ExtentTransform(rect, (int(rect[3] - rect[1]), int(rect[2] - rect[0])))
+
+
+class RandomLighting(Augmentation):
+    """AlexNet PCA lighting jitter over ImageNet statistics, RGB order
+    (reference :1079-1115): adds eigvecs @ (N(0, scale) * eigvals)."""
+
+    _EIG_VECS = np.array(
+        [[-0.5675, 0.7192, 0.4009], [-0.5808, -0.0045, -0.8140], [-0.5836, -0.6948, 0.4203]]
+    )
+    _EIG_VALS = np.array([0.2175, 0.0188, 0.0045])
+
+    def __init__(self, scale: float):
+        self.scale = scale
+
+    def get_transform(self, image):
+        assert image.shape[-1] == 3, "RandomLighting needs RGB"
+        weights = np.random.normal(scale=self.scale, size=3)
+        return BlendTransform(src_image=self._EIG_VECS.dot(weights * self._EIG_VALS),
+                              src_weight=1.0, dst_weight=1.0)

@@ -19,7 +19,7 @@ from focoos_tpu.models.bisenetformer.config import BisenetFormerConfig
 from focoos_tpu.models.fai_mf.modelling import MultiScaleMaskedTransformerDecoder
 from focoos_tpu.models.fai_mf.ports import MaskFormerAuxOutputs, MaskFormerModelOutput
 from focoos_tpu.nn.backbone.base import BaseBackbone
-from focoos_tpu.nn.layers.common import bilinear_resize
+from focoos_tpu.nn.layers.common import bn_use_running, bilinear_resize
 
 Dtype = jnp.dtype
 
@@ -39,7 +39,7 @@ class ConvBNReLU(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Conv(self.out_chan, (self.ks, self.ks), strides=(self.stride, self.stride),
                     padding=[(self.padding, self.padding)] * 2, use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -55,7 +55,7 @@ class AttentionRefinementModule(nn.Module):
         feat = ConvBNReLU(self.out_chan, dtype=self.dtype, name="conv")(x, train)
         atten = jnp.mean(feat, axis=(1, 2), keepdims=True)
         atten = nn.Conv(self.out_chan, (1, 1), use_bias=False, dtype=self.dtype, name="conv_atten")(atten)
-        atten = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        atten = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              name="bn_atten")(atten)
         return feat * jax.nn.sigmoid(atten)
 

@@ -160,7 +160,7 @@ def make_loss_fn(module, cfg: DETRConfig):
     def loss_fn(variables, batch, rng):
         images, targets = batch
         (out, aux_out), new_model_state = module.apply(
-            variables, images, train=True, mutable=["batch_stats"]
+            variables, images, train=True, mutable=["batch_stats"], rngs={"dropout": rng}
         )
         losses = detr_criterion(aux_out, targets, cfg)
         total = losses.pop("total")

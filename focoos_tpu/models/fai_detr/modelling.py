@@ -29,6 +29,7 @@ from focoos_tpu.models.fai_detr.config import DETRConfig
 from focoos_tpu.models.fai_detr.ports import DETRAuxOutputs, DETRModelOutput
 from focoos_tpu.nn.backbone.base import BaseBackbone
 from focoos_tpu.nn.layers.common import (
+    bn_use_running,
     ConvNorm,
     MLP,
     MultiHeadAttention,
@@ -109,7 +110,7 @@ class HybridEncoder(nn.Module):
         proj = []
         for i, x in enumerate(xs):
             x = nn.Conv(self.feat_dim, (1, 1), use_bias=False, dtype=self.dtype, name=f"input_proj_{i}_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              name=f"input_proj_{i}_bn")(x)
             proj.append(x)
 
@@ -302,7 +303,7 @@ class TransformerPredictor(nn.Module):
         spatial_shapes = []
         for i, f in enumerate(feats):
             x = nn.Conv(self.hidden_dim, (1, 1), use_bias=False, dtype=self.dtype, name=f"input_proj_{i}_conv")(f)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              name=f"input_proj_{i}_bn")(x)
             b, h, w, c = x.shape
             tokens.append(x.reshape(b, h * w, c))

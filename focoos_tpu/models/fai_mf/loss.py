@@ -172,8 +172,11 @@ def make_loss_fn(module, cfg: MaskFormerConfig):
 
     def loss_fn(variables, batch, rng):
         images, targets = batch
-        (out, aux_out), new_model_state = module.apply(variables, images, train=True, mutable=["batch_stats"])
-        losses = maskformer_criterion(rng, aux_out, targets, cfg)
+        rng_drop, rng_pts = jax.random.split(rng)
+        (out, aux_out), new_model_state = module.apply(
+            variables, images, train=True, mutable=["batch_stats"], rngs={"dropout": rng_drop}
+        )
+        losses = maskformer_criterion(rng_pts, aux_out, targets, cfg)
         total = losses.pop("total")
         return total, (losses, new_model_state)
 

@@ -23,10 +23,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from focoos_tpu.nn.layers.common import bn_use_running
 from focoos_tpu.models.fai_mf.config import MaskFormerConfig
 from focoos_tpu.models.fai_mf.ports import MaskFormerAuxOutputs, MaskFormerModelOutput
 from focoos_tpu.nn.backbone.base import BaseBackbone
 from focoos_tpu.nn.layers.common import (
+    bn_use_running,
     CrossAttentionBlock,
     FFNBlock,
     MLP,
@@ -62,7 +64,7 @@ class TransformerFPN(nn.Module):
         names = [n for n in names if n in feats]
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            return nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5,
                                 dtype=self.dtype, name=name)
 
         multi_scale = []

@@ -255,7 +255,9 @@ def make_loss_fn(module, cfg: RTMOConfig):
 
     def loss_fn(variables, batch, rng):
         images, targets = batch
-        (out, aux), new_model_state = module.apply(variables, images, train=True, mutable=["batch_stats"])
+        (out, aux), new_model_state = module.apply(
+            variables, images, train=True, mutable=["batch_stats"], rngs={"dropout": rng}
+        )
         losses, dcc_updates = rtmo_criterion(
             {"params": variables["params"], "batch_stats": new_model_state["batch_stats"]}, aux, targets, cfg
         )

@@ -27,7 +27,7 @@ from focoos_tpu.models.rtmo.config import RTMOConfig
 from focoos_tpu.models.rtmo.ports import RTMOAuxOutputs, RTMOModelOutput
 from focoos_tpu.nn.backbone.base import BaseBackbone
 from focoos_tpu.nn.backbone.csp_darknet import ConvModule
-from focoos_tpu.nn.layers.common import MultiHeadAttention
+from focoos_tpu.nn.layers.common import bn_use_running, MultiHeadAttention
 from focoos_tpu.ops.nms import topk_nms
 
 Dtype = jnp.dtype
@@ -80,7 +80,7 @@ class ProjectionConv(nn.Module):
         k, p = self.kernel_size, self.padding
         x = nn.Conv(self.out_channels, (k, k), strides=(self.stride, self.stride),
                     padding=[(p, p), (p, p)], use_bias=False, dtype=self.dtype, name="conv")(x)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        return nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5,
                             dtype=self.dtype, name="bn")(x)
 
 
@@ -191,7 +191,7 @@ class RTMOHybridEncoder(nn.Module):
         projected = []
         for i, o in enumerate(outs):
             p = nn.Conv(cfg.output_dim, (1, 1), use_bias=False, dtype=self.dtype, name=f"projector_{i}_conv")(o)
-            p = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            p = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              name=f"projector_{i}_bn")(p)
             projected.append(p)
         return projected
@@ -217,7 +217,7 @@ class RTMOHeadModule(nn.Module):
         def conv_bn_silu(x, ch, groups, name):
             x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                         feature_group_count=groups, dtype=self.dtype, name=f"{name}_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.97, epsilon=1e-3,
                              dtype=self.dtype, name=f"{name}_bn")(x)
             return nn.silu(x)
 
@@ -329,7 +329,7 @@ class DCC(nn.Module):
         # pose features → K keypoint tokens (Linear + BatchNorm1d folded math)
         kf = nn.Dense(F * K, dtype=self.dtype, name="pose_to_kpts_fc")(pose_feats)
         # BatchNorm1d over the flattened feature dim
-        kf = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        kf = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5,
                           dtype=self.dtype, name="pose_to_kpts_bn")(kf)
         kf = kf.reshape(*kf.shape[:-1], K, F)
 

@@ -34,7 +34,10 @@ class RTMOProcessor(Processor):
     def preprocess_entries(self, entries: List[DatasetEntry], max_instances: int = 50):
         import jax.numpy as jnp
 
-        images = ImageList.from_tensors([e.image for e in entries])
+        # Pad to 32x: the CSPDarknet Focus stem (space-to-depth) and the
+        # stride-8/16/32 head require even splits at every level — odd
+        # augmented sizes would break the space-to-depth concat.
+        images = ImageList.from_tensors([e.image for e in entries], size_divisibility=32)
         batch = images.tensor.astype(np.uint8)
         if not self.training:
             return batch, None

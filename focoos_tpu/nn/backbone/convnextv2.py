@@ -55,13 +55,20 @@ class GRN(nn.Module):
 
 
 class Block(nn.Module):
-    """dwconv7 → LN → pw(4x) → GELU → GRN → pw (reference :31-62)."""
+    """dwconv7 → LN → pw(4x) → GELU → GRN → pw (reference :31-62).
+
+    ``drop_rate``: per-block stochastic depth on the residual branch
+    (reference :58 drop_path), active only in train mode with a dropout rng.
+    """
 
     dim: int
+    drop_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from focoos_tpu.nn.layers.misc import DropPath
+
         inp = x
         x = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=self.dim,
                     dtype=self.dtype, name="dwconv")(x)
@@ -70,7 +77,7 @@ class Block(nn.Module):
         x = nn.gelu(x, approximate=False)
         x = GRN(4 * self.dim, name="grn")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
-        return inp + x
+        return inp + DropPath(self.drop_rate)(x, deterministic=not train)
 
 
 class ConvNeXtV2(BaseBackbone):
@@ -81,6 +88,10 @@ class ConvNeXtV2(BaseBackbone):
         r = self.config.resolved()
         depths, dims = r["depths"], r["embed_dims"]
         dtype = x.dtype
+        # linearly-increasing stochastic-depth rates (reference :131 linspace)
+        total = sum(depths)
+        rates = [self.config.drop_path_rate * k / max(total - 1, 1) for k in range(total)]
+        blk = 0
         outs = {}
         for i in range(4):
             if i == 0:
@@ -90,7 +101,8 @@ class ConvNeXtV2(BaseBackbone):
                 x = nn.LayerNorm(epsilon=1e-6, name=f"downsample_{i}_norm")(x)
                 x = nn.Conv(dims[i], (2, 2), strides=(2, 2), padding='VALID', dtype=dtype, name=f"downsample_{i}_conv")(x)
             for j in range(depths[i]):
-                x = Block(dims[i], dtype=dtype, name=f"stages_{i}_{j}")(x)
+                x = Block(dims[i], drop_rate=rates[blk], dtype=dtype, name=f"stages_{i}_{j}")(x, train)
+                blk += 1
             outs[f"res{i + 2}"] = x
         return outs
 

@@ -14,6 +14,7 @@ from typing import Dict, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from focoos_tpu.nn.layers.common import bn_use_running
 from focoos_tpu.nn.backbone.base import BackboneConfig, BaseBackbone, ShapeSpec
 
 ARCH_SETTINGS = {
@@ -49,7 +50,7 @@ class ConvModule(nn.Module):
         x = nn.Conv(self.out_channels, (k, k), strides=(self.stride, self.stride),
                     padding=[(p, p), (p, p)], use_bias=False, feature_group_count=self.groups,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, name="bn")(x)
         return nn.silu(x)
 

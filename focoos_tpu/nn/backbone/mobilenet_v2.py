@@ -8,6 +8,7 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from focoos_tpu.nn.layers.common import bn_use_running
 from focoos_tpu.nn.backbone.base import BackboneConfig, BaseBackbone, ShapeSpec
 
 ARCH_SETTINGS = [
@@ -40,7 +41,7 @@ def _conv_bn_relu6(x, ch, k, stride, groups, dilation, name, train, dtype):
     x = nn.Conv(ch, (k, k), strides=(stride, stride), padding=[(pad, pad), (pad, pad)],
                 feature_group_count=groups, kernel_dilation=(dilation, dilation),
                 use_bias=False, dtype=dtype, name=f"{name}_conv")(x)
-    x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype,
+    x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=dtype,
                      name=f"{name}_bn")(x)
     return jnp.clip(x, 0.0, 6.0)
 
@@ -66,7 +67,7 @@ class InvertedResidual(nn.Module):
         # note: the reference applies activation on the projection conv too)
         pad = 0
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        y = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          name="project_bn")(y)
         y = jnp.clip(y, 0.0, 6.0)  # reference passes activation to the 1x1 projection too
         if self.stride == 1 and cin == self.out_channels:

@@ -14,6 +14,7 @@ from typing import Dict, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from focoos_tpu.nn.layers.common import bn_use_running
 from focoos_tpu.nn.backbone.base import BackboneConfig, BaseBackbone, ShapeSpec
 
 PRETRAINED_URLS = {
@@ -58,7 +59,7 @@ class ConvX(nn.Module):
         p = self.kernel // 2
         x = nn.Conv(self.out_planes, (self.kernel, self.kernel), strides=(self.stride, self.stride),
                     padding=[(p, p), (p, p)], use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -100,7 +101,7 @@ class CatBottleneck(nn.Module):
                 half = self.out_planes // 2
                 d = nn.Conv(half, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], feature_group_count=half,
                             use_bias=False, dtype=self.dtype, name="avd_conv")(out)
-                d = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                d = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                  name="avd_bn")(d)
                 out = ConvX(chans[idx], stride=1, dtype=self.dtype, name=f"conv_list_{idx}")(d, train)
             else:
@@ -125,7 +126,7 @@ class AddBottleneck(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         chans = _block_channels(self.out_planes, self.block_num)
         bn = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name
+            use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name
         )
         outs = []
         out = x

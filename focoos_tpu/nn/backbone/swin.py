@@ -131,10 +131,12 @@ class SwinBlock(nn.Module):
     shift_size: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    drop_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, h: int, w: int, train: bool = False) -> jnp.ndarray:
+        from focoos_tpu.nn.layers.misc import DropPath
         b, l, c = x.shape
         # reference never clamps: features pad up to window multiples (:255-260)
         ws = self.window_size
@@ -161,13 +163,15 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x[:, :h, :w].reshape(b, l, c)
-        x = shortcut + x
+        # stochastic depth on both residual branches (reference :238,297)
+        dp = DropPath(self.drop_rate, name="drop_path")
+        x = shortcut + dp(x, deterministic=not train)
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        return x + dp(y, deterministic=not train)
 
 
 class Swin(BaseBackbone):
@@ -195,14 +199,20 @@ class Swin(BaseBackbone):
 
         outs = {}
         dim = embed_dim
+        # linearly-increasing stochastic-depth rates (reference :600 linspace)
+        total = sum(depths)
+        rates = [cfg.drop_path_rate * k / max(total - 1, 1) for k in range(total)]
+        blk = 0
         for i, depth in enumerate(depths):
             for j in range(depth):
                 x = SwinBlock(
                     dim=dim, num_heads=num_heads[i], window_size=ws,
                     shift_size=0 if j % 2 == 0 else ws // 2,
-                    mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias, dtype=dtype,
+                    mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                    drop_rate=rates[blk], dtype=dtype,
                     name=f"layers_{i}_blocks_{j}",
-                )(x, hh, ww)
+                )(x, hh, ww, train)
+                blk += 1
             if i in cfg.out_indices:
                 xo = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
                 outs[f"res{i + 2}"] = xo.reshape(b, hh, ww, dim)

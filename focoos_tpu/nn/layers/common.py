@@ -38,6 +38,24 @@ def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return table[name]
 
 
+# Trace-time global set by the trainer when TrainerArgs.freeze_bn is on —
+# the functional analog of the reference's whole-model
+# FrozenBatchNorm2d.convert_frozen_batchnorm (trainer/trainer.py:329).
+# Read once per jit trace, so flipping it before building the train step
+# freezes every BatchNorm in the compiled graph.
+FREEZE_ALL_BN = False
+
+
+def bn_use_running(train: bool) -> bool:
+    """``use_running_average`` for raw ``nn.BatchNorm`` call sites.
+
+    Honors the trainer's ``FREEZE_ALL_BN`` override so TrainerArgs.freeze_bn
+    reaches every BN in the zoo, not only those built via the wrapper below.
+    Evaluated at trace time.
+    """
+    return (not train) or FREEZE_ALL_BN
+
+
 class BatchNorm(nn.Module):
     """BatchNorm over NHWC / NLC feature axis.
 
@@ -54,7 +72,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        use_running = (not train) or self.frozen
+        use_running = (not train) or self.frozen or FREEZE_ALL_BN
         return nn.BatchNorm(
             use_running_average=use_running,
             momentum=self.momentum,

@@ -15,6 +15,7 @@ from focoos_tpu.trainer.evaluation.evaluators import (
     DetectionEvaluator,
     InstanceSegmentationEvaluator,
     KeypointEvaluator,
+    PanopticEvaluator,
     SemSegEvaluator,
     get_evaluator,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "DetectionEvaluator",
     "InstanceSegmentationEvaluator",
     "KeypointEvaluator",
+    "PanopticEvaluator",
     "SemSegEvaluator",
     "ClassificationEvaluator",
     "get_evaluator",

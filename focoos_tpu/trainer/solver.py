@@ -101,12 +101,30 @@ def leaf_hyperparams(
     backbone_multiplier: float = 0.1,
     decoder_multiplier: float = 1.0,
     head_multiplier: float = 1.0,
+    freeze_paths: Tuple[str, ...] = (),
+    freeze_bn: bool = False,
 ) -> Tuple[Any, Any]:
     """→ (lr_mult_tree, wd_tree) following the reference policy
-    (solver/build.py:81-101): substring matches on the parameter path."""
+    (solver/build.py:81-101): substring matches on the parameter path.
+
+    ``freeze_paths`` / ``freeze_bn`` zero both the LR multiplier and the
+    weight decay for matching leaves — the functional analog of torch's
+    ``requires_grad=False`` (reference: nn/backbone/resnet.py:221 freeze_at,
+    trainer/trainer.py:329 freeze_bn→FrozenBatchNorm2d). Zeroing the final
+    update (not just the grad) matters: decoupled AdamW weight decay would
+    otherwise still move frozen weights.
+    """
+
+    def _is_bn(p: str) -> bool:
+        return "/bn/" in p or p.endswith("/bn")
+
+    def _frozen(p: str) -> bool:
+        return any(fp in p for fp in freeze_paths) or (freeze_bn and _is_bn(p))
 
     def mult(path, leaf):
         p = _path_str(path)
+        if _frozen(p):
+            return jnp.asarray(0.0, jnp.float32)
         m = 1.0
         if "backbone" in p:
             m *= backbone_multiplier
@@ -118,7 +136,9 @@ def leaf_hyperparams(
 
     def wd(path, leaf):
         p = _path_str(path)
-        if "/bn/" in p or p.endswith("/bn") or "norm" in p:
+        if _frozen(p):
+            return jnp.asarray(0.0, jnp.float32)
+        if _is_bn(p) or "norm" in p:
             return jnp.asarray(wd_norm, jnp.float32)
         if "embed" in p:
             return jnp.asarray(wd_embed, jnp.float32)
@@ -155,7 +175,9 @@ def _per_leaf_scale(mult_tree: Any) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def build_optimizer(params: Any, args: TrainerArgs) -> Tuple[optax.GradientTransformation, Callable]:
+def build_optimizer(
+    params: Any, args: TrainerArgs, freeze_paths: Tuple[str, ...] = ()
+) -> Tuple[optax.GradientTransformation, Callable]:
     """→ (tx, schedule_fn). Mirrors reference build_optimizer + LRScheduler hook."""
     schedule = build_schedule(args.scheduler, args.learning_rate, args.max_iters, args.scheduler_extra)
     lr_tree, wd_tree = leaf_hyperparams(
@@ -166,6 +188,8 @@ def build_optimizer(params: Any, args: TrainerArgs) -> Tuple[optax.GradientTrans
         backbone_multiplier=args.backbone_multiplier,
         decoder_multiplier=args.decoder_multiplier,
         head_multiplier=args.head_multiplier,
+        freeze_paths=tuple(freeze_paths),
+        freeze_bn=bool(getattr(args, "freeze_bn", False)),
     )
     extra = dict(args.optimizer_extra or {})
     name = args.optimizer.upper()

@@ -143,6 +143,24 @@ def _make_family_loss_fn(model) -> Callable:
     return mod.make_loss_fn(model.module, model.config)
 
 
+def _freeze_paths_for(model) -> tuple:
+    """Parameter-path substrings to freeze, from the backbone config.
+
+    ``freeze_at=N`` freezes the stem plus stages res2..res{N+1}, matching the
+    reference (nn/backbone/resnet.py:221-224: conv1 + res_layers[:freeze_at]).
+    Implemented as optimizer masks — idiomatic replacement for
+    ``requires_grad=False`` in a functional framework.
+    """
+    bcfg = getattr(getattr(model, "config", None), "backbone_config", None)
+    freeze_at = getattr(bcfg, "freeze_at", -1)
+    if freeze_at is None or freeze_at < 0:
+        return ()
+    paths = ["backbone/conv1"]  # stem (conv1_1..conv1_3 for resnet-c/d variants)
+    for i in range(min(int(freeze_at), 4)):
+        paths.append(f"backbone/res{i + 2}_")
+    return tuple(paths)
+
+
 def _versioned_run_dir(output_dir: str, run_name: str) -> str:
     """run-dir versioning (reference: trainer/trainer.py:84-93)."""
     base = os.path.join(output_dir, run_name)
@@ -203,7 +221,17 @@ class FocoosTrainer:
         mesh = make_mesh((n_dev,), devices=jax.devices()[:n_dev])
         logger.info(f"Training on mesh {mesh} | global batch {args.batch_size}")
 
-        tx, schedule = build_optimizer(model.variables["params"], args)
+        # freeze wiring (reference: resnet.py:221 freeze_at, trainer.py:329 freeze_bn)
+        freeze_paths = _freeze_paths_for(model)
+        if args.freeze_bn:
+            from focoos_tpu.nn.layers import common as _nn_common
+
+            _nn_common.FREEZE_ALL_BN = True  # read at trace time by every BatchNorm
+            logger.info("freeze_bn: all BatchNorm layers use frozen running stats")
+        if freeze_paths:
+            logger.info(f"Frozen parameter groups: {freeze_paths}")
+
+        tx, schedule = build_optimizer(model.variables["params"], args, freeze_paths=freeze_paths)
         state = create_train_state(dict(model.variables), tx, ema_enabled=args.ema_enabled)
         loss_fn = _make_family_loss_fn(model)
         ema_fn = ema_decay_schedule(args.ema_decay, args.ema_warmup) if args.ema_enabled else None
@@ -246,6 +274,11 @@ class FocoosTrainer:
         except Exception as e:
             self._set_status(ModelStatus.TRAINING_ERROR, failure_reason=str(e))
             raise
+        finally:
+            if args.freeze_bn:
+                from focoos_tpu.nn.layers import common as _nn_common
+
+                _nn_common.FREEZE_ALL_BN = False
 
         # final artifacts (reference: trainer/trainer.py:360-416)
         final_state = jax.device_get(loop.state)

@@ -103,3 +103,32 @@ def test_train_loader_batches(synth_dir):
     assert batch.shape[0] == 2 and batch.shape[-1] == 3
     assert targets.labels.shape == (2, 5)
     model.processor.train(False)
+
+
+def test_extent_transform_geometry():
+    from focoos_tpu.data.transforms import ExtentTransform
+
+    img = np.arange(20 * 30 * 3, dtype=np.uint8).reshape(20, 30, 3)
+    # identity subrect reproduces the image exactly
+    t = ExtentTransform((0, 0, 30, 20), (20, 30))
+    np.testing.assert_array_equal(t.apply_image(img), img)
+    # out-of-bounds subrect zero-pads
+    t2 = ExtentTransform((-10, -10, 20, 10), (20, 30))
+    out = t2.apply_image(img)
+    assert out.shape == (20, 30, 3)
+    assert (out[:5, :5] == 0).all()  # region left/above the source
+    # coords map linearly into output space
+    c = t2.apply_coords(np.array([[-10.0, -10.0], [20.0, 10.0]]))
+    np.testing.assert_allclose(c, [[0, 0], [30, 20]])
+
+
+def test_random_lighting_preserves_shape_dtype():
+    from focoos_tpu.data.transforms import RandomLighting
+
+    np.random.seed(0)
+    img = np.full((8, 8, 3), 128, np.uint8)
+    t = RandomLighting(5.0).get_transform(img)
+    out = t.apply_image(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, img)
+    np.testing.assert_array_equal(t.apply_coords(np.array([[1.0, 2.0]])), [[1.0, 2.0]])

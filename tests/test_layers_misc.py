@@ -1,0 +1,127 @@
+"""Library-layer tests (reference: focoos/nn/layers/{misc,aspp,dcn,attention,
+position_encoding}.py) + freeze-mask solver behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def test_drop_path_deterministic_identity(key):
+    from focoos_tpu.nn.layers.misc import DropPath
+
+    x = jnp.ones((4, 8, 8, 16))
+    m = DropPath(0.5)
+    v = m.init(key, x)
+    assert (m.apply(v, x, deterministic=True) == x).all()
+    # no dropout rng provided -> identity even in train mode
+    assert (m.apply(v, x, deterministic=False) == x).all()
+
+
+def test_drop_path_stochastic_scaling(key):
+    from focoos_tpu.nn.layers.misc import DropPath
+
+    x = jnp.ones((512, 2, 2, 1))
+    m = DropPath(0.25)
+    v = m.init(key, x)
+    out = np.asarray(m.apply(v, x, deterministic=False, rngs={"dropout": key}))
+    per_sample = np.unique(out.reshape(512, -1))
+    # samples are either fully dropped or scaled by 1/keep
+    np.testing.assert_allclose(sorted(per_sample), [0.0, 1 / 0.75], rtol=1e-6)
+    # expectation preserved within sampling noise
+    assert abs(out.mean() - 1.0) < 0.1
+
+
+def test_aspp_and_dcn_shapes(key):
+    from focoos_tpu.nn.layers.misc import ASPP, DeformableConv2d
+
+    x = jnp.ones((2, 16, 16, 32))
+    m = ASPP(out_channels=64, dilations=(2, 4, 6))
+    y = m.apply(m.init(key, x), x)
+    assert y.shape == (2, 16, 16, 64)
+
+    d = DeformableConv2d(features=48, stride=2)
+    y = d.apply(d.init(key, x), x)
+    assert y.shape == (2, 8, 8, 48)
+
+
+def test_dcn_zero_offsets_matches_regular_conv(key):
+    """With zero-initialized offsets and modulation off, DCN == regular conv."""
+    from focoos_tpu.nn.layers.misc import DeformableConv2d
+
+    x = jax.random.normal(key, (1, 8, 8, 4))
+    d = DeformableConv2d(features=6, modulated=False)
+    v = d.init(key, x)
+    kernel = v["params"]["kernel"]  # [k*k*c, F]
+    y = d.apply(v, x)
+    # reference computation: explicit 3x3 patch extraction (taps in (ky,kx) row-major)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.concatenate(
+        [xp[:, i : i + 8, j : j + 8] for i in range(3) for j in range(3)], axis=-1
+    )
+    expect = patches.reshape(1, 8, 8, -1) @ kernel
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expect), atol=1e-5)
+
+
+def test_conditional_attention_shapes(key):
+    from focoos_tpu.nn.layers.misc import ConditionalCrossAttention, ConditionalSelfAttention
+
+    q = jnp.ones((2, 10, 64))
+    kv = jnp.ones((2, 20, 64))
+    sa = ConditionalSelfAttention(64)
+    assert sa.apply(sa.init(key, q, q), q, q).shape == (2, 10, 64)
+    ca = ConditionalCrossAttention(64)
+    assert ca.apply(ca.init(key, q, kv, kv, q, kv), q, kv, kv, q, kv).shape == (2, 10, 64)
+
+
+def test_position_embeddings(key):
+    from focoos_tpu.nn.layers.misc import PositionEmbeddingLearned, get_sine_pos_embed
+
+    p = PositionEmbeddingLearned(num_pos_feats=32, max_size=20)
+    v = p.init(key, 8, 12)
+    assert p.apply(v, 8, 12).shape == (8, 12, 64)
+    emb = get_sine_pos_embed(jnp.zeros((3, 5, 4)), num_pos_feats=16)
+    assert emb.shape == (3, 5, 64)
+
+
+def test_solver_freeze_masks():
+    from focoos_tpu.trainer.solver import leaf_hyperparams
+
+    params = {
+        "backbone": {"conv1_1": {"conv": {"kernel": jnp.ones(1)}},
+                     "res2_block0": {"conv": {"kernel": jnp.ones(1)}},
+                     "res3_block0": {"conv": {"kernel": jnp.ones(1)},
+                                     "bn": {"scale": jnp.ones(1)}}},
+        "head": {"classifier": {"kernel": jnp.ones(1)}},
+    }
+    lr, wd = leaf_hyperparams(
+        params, base_wd=1e-4, freeze_paths=("backbone/conv1", "backbone/res2_"), freeze_bn=True
+    )
+    assert float(lr["backbone"]["conv1_1"]["conv"]["kernel"]) == 0.0
+    assert float(lr["backbone"]["res2_block0"]["conv"]["kernel"]) == 0.0
+    assert float(lr["backbone"]["res3_block0"]["conv"]["kernel"]) > 0.0
+    assert float(lr["backbone"]["res3_block0"]["bn"]["scale"]) == 0.0  # freeze_bn
+    assert float(wd["backbone"]["conv1_1"]["conv"]["kernel"]) == 0.0
+    assert float(wd["head"]["classifier"]["kernel"]) == pytest.approx(1e-4)
+
+
+def test_swin_convnext_drop_path_train_mode(key):
+    """drop_path active in train mode changes outputs; eval is deterministic."""
+    from focoos_tpu.nn.backbone.convnextv2 import ConvNeXtV2, ConvNeXtV2Config
+
+    cfg = ConvNeXtV2Config(model_size=None, depths=(2, 2, 2, 2), embed_dims=(16, 32, 64, 128),
+                           drop_path_rate=0.5)
+    m = ConvNeXtV2(config=cfg)
+    x = jax.random.normal(key, (2, 64, 64, 3))
+    v = m.init(key, x)
+    e1 = m.apply(v, x, train=False)
+    e2 = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1["res5"]), np.asarray(e2["res5"]))
+    t1 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.array_equal(np.asarray(t1["res5"]), np.asarray(t2["res5"]))

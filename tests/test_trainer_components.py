@@ -105,3 +105,36 @@ def test_classification_evaluator():
     )
     res = ev.evaluate()["classification"]
     assert res["f1"] == pytest.approx(100.0)
+
+
+def test_panoptic_evaluator_pq():
+    from focoos_tpu.trainer.evaluation import PanopticEvaluator
+
+    ld = 1000
+    gt = np.zeros((10, 10), np.int64)
+    gt[:5, :5] = 0 * ld + 1   # thing (class 0), 25 px
+    gt[5:, :] = 1 * ld + 1    # stuff (class 1), 50 px
+    pred = np.zeros((10, 10), np.int64)
+    pred[:5, :4] = 0 * ld + 7  # IoU 20/25 = 0.8
+    pred[5:, :] = 1 * ld + 3   # IoU 1.0
+
+    ev = PanopticEvaluator(num_classes=2, class_names=["car", "sky"], thing_ids=[0])
+    ev.process([{"pan_seg": gt}], [{"panoptic_seg": (pred, None)}])
+    res = ev.evaluate()["panoptic_seg"]
+    assert res["PQ"] == pytest.approx(90.0)
+    assert res["PQ_th"] == pytest.approx(80.0)
+    assert res["PQ_st"] == pytest.approx(100.0)
+
+    # spurious segment fully on GT VOID is not an FP (panopticapi rule)
+    pred2 = pred.copy()
+    pred2[:3, 6:9] = 0 * ld + 9
+    ev2 = PanopticEvaluator(2, thing_ids=[0])
+    ev2.process([{"pan_seg": gt}], [{"panoptic_seg": (pred2, None)}])
+    assert ev2.evaluate()["panoptic_seg"]["PQ"] == pytest.approx(90.0)
+
+    # missed thing -> FN halves PQ
+    pred3 = np.zeros((10, 10), np.int64)
+    pred3[5:, :] = 1 * ld + 3
+    ev3 = PanopticEvaluator(2, thing_ids=[0])
+    ev3.process([{"pan_seg": gt}], [{"panoptic_seg": (pred3, None)}])
+    assert ev3.evaluate()["panoptic_seg"]["PQ"] == pytest.approx(50.0)
