@@ -210,3 +210,40 @@ class MapDataset:
             self._fallback.append(cur_idx)
             cur_idx = self._rng.randint(0, len(self._dataset) - 1)
         raise RuntimeError(f"MapDataset failed to map any record after 31 retries (start idx {idx})")
+
+
+class SerializedDataset:
+    """Records pickled into one contiguous numpy byte buffer
+    (reference: datasets/serialize.py:11 TorchSerializedDataset).
+
+    The reference needs this to dodge fork copy-on-write blowup across
+    DataLoader worker processes; our loader uses threads, so the win here is
+    plain memory compactness for large record lists (one buffer + offsets
+    instead of millions of python dicts). Keeps ``metadata`` passthrough so it
+    can drop in wherever a DictDataset record list is read-only.
+    """
+
+    def __init__(self, records: List[Dict[str, Any]], metadata: Optional[DatasetMetadata] = None):
+        import pickle
+
+        blobs = [np.frombuffer(pickle.dumps(r, protocol=-1), dtype=np.uint8) for r in records]
+        self._addr = np.cumsum(np.asarray([len(b) for b in blobs], dtype=np.int64))
+        self._buf = np.concatenate(blobs) if blobs else np.zeros(0, np.uint8)
+        self.metadata = metadata
+
+    def __len__(self) -> int:
+        return len(self._addr)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        import pickle
+
+        start = 0 if idx == 0 else int(self._addr[idx - 1])
+        return pickle.loads(memoryview(self._buf[start : int(self._addr[idx])]))
+
+    @property
+    def nbytes(self) -> int:
+        return int(self._buf.nbytes)
+
+    @classmethod
+    def from_dict_dataset(cls, ds: "DictDataset") -> "SerializedDataset":
+        return cls(ds.records, ds.metadata)

@@ -77,10 +77,16 @@ class ConfigManager:
         ModelManager._ensure_family_registered(key)
         config_cls = cls._registry[key]
         d = dict(d)
+        known = {f.name for f in fields(config_cls)}
+        # explicit user overrides must name real fields (reference:
+        # model_manager.py:375 raises on invalid update keys)
+        bad_overrides = {k for k in overrides if k not in known and overrides[k] is not None}
+        if bad_overrides:
+            raise ValueError(f"Invalid config keys for {key}: {sorted(bad_overrides)} (known: {sorted(known)})")
         d.update({k: v for k, v in overrides.items() if v is not None})
         if "backbone_config" in d and isinstance(d["backbone_config"], dict):
             d["backbone_config"] = BackboneManager.config_from_dict(d["backbone_config"])
-        known = {f.name for f in fields(config_cls)}
+        # stored card dicts may carry keys from newer/older versions: warn+drop
         bad = set(d) - known
         if bad:
             logger.warning(f"Dropping unknown config keys for {key}: {sorted(bad)}")
