@@ -125,3 +125,25 @@ def test_swin_convnext_drop_path_train_mode(key):
     t1 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     t2 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.array_equal(np.asarray(t1["res5"]), np.asarray(t2["res5"]))
+
+
+def test_vit_helpers_window_roundtrip(key):
+    from focoos_tpu.nn.layers.vit_helpers import window_partition, window_unpartition
+
+    x = jax.random.normal(key, (2, 13, 17, 4))
+    wins, pad_hw = window_partition(x, 7)
+    assert wins.shape == (2 * 2 * 3, 7, 7, 4)
+    back = window_unpartition(wins, 7, pad_hw, (13, 17))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_vit_helpers_rel_pos_and_patch_embed(key):
+    from focoos_tpu.nn.layers.vit_helpers import PatchEmbed, add_decomposed_rel_pos, get_rel_pos
+
+    rp = jnp.ones((11, 8))
+    assert get_rel_pos(6, 6, rp).shape == (6, 6, 8)
+    attn = add_decomposed_rel_pos(jnp.zeros((2, 36, 36)), jnp.ones((2, 36, 8)), rp, rp, (6, 6), (6, 6))
+    assert attn.shape == (2, 36, 36)
+    pe = PatchEmbed(embed_dim=32)
+    v = pe.init(key, jnp.ones((1, 64, 64, 3)))
+    assert pe.apply(v, jnp.ones((1, 64, 64, 3))).shape == (1, 4, 4, 32)
