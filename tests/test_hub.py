@@ -1,0 +1,107 @@
+"""Hub tests with mocked HTTP (reference model: tests/test_focoos_hub.py,
+test_remote_model.py, test_remote_dataset.py — all network fully mocked)."""
+
+import json
+from unittest.mock import MagicMock
+
+import pytest
+
+from focoos_tpu.hub.api_client import ApiClient
+from focoos_tpu.hub.focoos_hub import FocoosHUB
+
+
+class FakeResponse:
+    def __init__(self, payload, status_code=200):
+        self._payload = payload
+        self.status_code = status_code
+        self.text = json.dumps(payload)
+
+    def json(self):
+        return self._payload
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise RuntimeError(f"HTTP {self.status_code}")
+
+
+@pytest.fixture()
+def hub(monkeypatch):
+    hub = FocoosHUB(api_key="test-key")
+    return hub
+
+
+def test_get_user_info(hub, monkeypatch):
+    monkeypatch.setattr(
+        hub.api_client, "get",
+        lambda path, **kw: FakeResponse({"email": "a@b.c", "company": "x"}),
+    )
+    user = hub.get_user_info()
+    assert user.email == "a@b.c"
+
+
+def test_list_remote_models(hub, monkeypatch):
+    payload = [{"ref": "r1", "name": "m1", "focoos_model": "fai-detr-m-coco",
+                "task": "detection", "status": "TRAINING_COMPLETED"}]
+    monkeypatch.setattr(hub.api_client, "get", lambda path, **kw: FakeResponse(payload))
+    models = hub.list_remote_models()
+    assert len(models) == 1
+    assert models[0].ref == "r1"
+
+
+def test_new_model_posts(hub, monkeypatch):
+    captured = {}
+
+    def fake_post(path, data=None, **kw):
+        captured["path"] = path
+        captured["data"] = data
+        return FakeResponse({"ref": "new-ref", "name": data["name"]}, 201)
+
+    monkeypatch.setattr(hub.api_client, "post", fake_post)
+    out = hub.new_model("my-model", "fai-detr-m-coco", "desc")
+    assert out["ref"] == "new-ref"
+    assert captured["data"]["name"] == "my-model"
+
+
+def test_api_client_auth_header():
+    c = ApiClient(api_key="secret", host_url="https://example.test/v0")
+    assert c._headers.get("X-API-Key") == "secret"
+    assert c._url("models/x") == "https://example.test/v0/models/x"
+
+
+def test_remote_model_infer_parses_detections(monkeypatch, tmp_path):
+    from focoos_tpu.hub.remote_model import RemoteModel
+
+    img = tmp_path / "x.jpg"
+    img.write_bytes(b"\xff\xd8fake")
+    client = ApiClient(api_key="k")
+    import requests
+
+    monkeypatch.setattr(
+        requests, "post",
+        lambda *a, **kw: FakeResponse(
+            {"detections": [{"bbox": [0, 0, 5, 5], "conf": 0.9, "cls_id": 1, "label": "cat"}],
+             "latency": {"inference": 0.01}}
+        ),
+    )
+    rm = RemoteModel("ref1", client)
+    dets = rm.infer(str(img), threshold=0.5)
+    assert dets.detections[0].label == "cat"
+
+
+def test_hub_download_skips_network_when_cached(hub, monkeypatch, tmp_path):
+    weights = tmp_path / "model_final.pth"
+    weights.write_bytes(b"123")
+    monkeypatch.setattr(
+        hub.api_client, "get",
+        lambda path, **kw: FakeResponse({"weights_uri": "https://cdn/x/model_final.pth"}),
+    )
+    called = {"n": 0}
+
+    def fake_dl(url, out_dir, file_name=None, skip_if_exists=True):
+        called["n"] += 1
+        return str(weights)
+
+    monkeypatch.setattr(hub.api_client, "download_ext_file", fake_dl)
+    out = hub.download_model_pth("ref1", out_dir=str(tmp_path))
+    assert out == str(weights)
+    assert called["n"] == 1
