@@ -56,9 +56,16 @@ class InferenceSampler:
 
 
 class _Prefetcher:
-    """Thread-pool mapper executor feeding an ordered batch queue."""
+    """Thread-pool mapper executor feeding an ordered batch queue.
 
-    def __init__(self, dataset, sampler, batch_size: int, num_workers: int, collate):
+    ``aspect_ratio_grouping`` buckets entries into wide (w>h) vs tall batches
+    (reference: AspectRatioGroupedDataset, data/loaders.py:70) so batch padding
+    in ``ImageList.from_tensors`` wastes less — only relevant for augmentation
+    pipelines that emit variable shapes; square-resize pipelines see no change.
+    """
+
+    def __init__(self, dataset, sampler, batch_size: int, num_workers: int, collate,
+                 aspect_ratio_grouping: bool = False):
         self._dataset = dataset
         self._sampler_iter = iter(sampler)
         self._batch_size = batch_size
@@ -67,15 +74,33 @@ class _Prefetcher:
         self._workers = max(1, num_workers)
         self._threads: List[threading.Thread] = []
         self._started = False
+        self._ar_grouping = aspect_ratio_grouping
+
+    @staticmethod
+    def _entry_is_wide(entry) -> bool:
+        w = getattr(entry, "width", None)
+        h = getattr(entry, "height", None)
+        if (w is None or h is None) and getattr(entry, "image", None) is not None:
+            h, w = entry.image.shape[:2]
+        return bool(w and h and w > h)
 
     def _producer(self):
         from concurrent.futures import ThreadPoolExecutor
 
+        buckets: List[list] = [[], []]
         with ThreadPoolExecutor(max_workers=self._workers) as pool:
             while True:
                 idxs = [next(self._sampler_iter) for _ in range(self._batch_size)]
                 entries = list(pool.map(self._dataset.__getitem__, idxs))
-                self._q.put(self._collate(entries))
+                if not self._ar_grouping:
+                    self._q.put(self._collate(entries))
+                    continue
+                for e in entries:
+                    b = buckets[0] if self._entry_is_wide(e) else buckets[1]
+                    b.append(e)
+                    if len(b) == self._batch_size:
+                        self._q.put(self._collate(b[:]))
+                        b.clear()
 
     def __iter__(self):
         if not self._started:
@@ -95,6 +120,7 @@ def build_train_loader(
     seed: int = 0,
     max_instances: int = 100,
     shuffle: bool = True,
+    aspect_ratio_grouping: bool = False,
 ):
     """Infinite preprocessed-batch stream (reference: build_detection_train_loader
     loaders.py:94). Per-host batch = total / process_count."""
@@ -106,7 +132,8 @@ def build_train_loader(
         batch, targets = processor.preprocess_entries(entries, max_instances=max_instances)
         return batch, targets
 
-    return _Prefetcher(dataset, sampler, per_host, num_workers, collate)
+    return _Prefetcher(dataset, sampler, per_host, num_workers, collate,
+                       aspect_ratio_grouping=aspect_ratio_grouping)
 
 
 def build_test_loader(dataset, batch_size: int = 8):

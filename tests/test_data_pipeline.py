@@ -132,3 +132,27 @@ def test_random_lighting_preserves_shape_dtype():
     assert out.shape == img.shape and out.dtype == np.uint8
     assert not np.array_equal(out, img)
     np.testing.assert_array_equal(t.apply_coords(np.array([[1.0, 2.0]])), [[1.0, 2.0]])
+
+
+def test_aspect_ratio_grouping_buckets():
+    """Wide and tall entries never mix in one batch (reference:
+    AspectRatioGroupedDataset, data/loaders.py:70)."""
+    from focoos_tpu.data.loaders import TrainingSampler, _Prefetcher
+    from focoos_tpu.ports import DatasetEntry
+
+    class DS:
+        def __len__(self):
+            return 40
+
+        def __getitem__(self, i):
+            return DatasetEntry(width=20 if i % 2 == 0 else 10,
+                                height=10 if i % 2 == 0 else 20)
+
+    p = _Prefetcher(DS(), TrainingSampler(40, shuffle=False, seed=0), batch_size=4,
+                    num_workers=1, collate=lambda es: es, aspect_ratio_grouping=True)
+    it = iter(p)
+    for _ in range(6):
+        batch = next(it)
+        assert len(batch) == 4
+        wides = [e.width > e.height for e in batch]
+        assert all(wides) or not any(wides)
