@@ -23,7 +23,8 @@ logger = get_logger(__name__)
 
 
 class InferModel:
-    def __init__(self, model_dir: str, runtime_type: RuntimeType = RuntimeType.XLA_TPU_BF16):
+    def __init__(self, model_dir: str, runtime_type: RuntimeType = RuntimeType.XLA_TPU_BF16,
+                 data_parallel: bool = False):
         info_path = os.path.join(model_dir, ArtifactName.INFO.value)
         if not os.path.isfile(info_path):
             raise FileNotFoundError(f"model_info.json not found in {model_dir}")
@@ -55,7 +56,7 @@ class InferModel:
             builder_model = ModelManager.get(model_dir, dtype=dtype)
             self.runtime = load_runtime(
                 runtime_type, module=builder_model.module, variables=builder_model.variables,
-                output_names=output_names,
+                output_names=output_names, data_parallel=data_parallel,
             )
 
     @property

@@ -10,6 +10,7 @@ serialized ``jax.export`` artifact.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -66,9 +67,17 @@ class BaseRuntime:
 
 
 class XLARuntime(BaseRuntime):
-    """jit-compiled params runtime (analog of ONNX_TRT16 / TORCHSCRIPT_32)."""
+    """jit-compiled params runtime (analog of ONNX_TRT16 / TORCHSCRIPT_32).
 
-    def __init__(self, module, variables: Dict[str, Any], output_names: List[str], dtype: Optional[str] = None):
+    ``data_parallel=True`` serves batches sharded over every local device:
+    params replicate, the batch splits on a 1-D ``data`` mesh and GSPMD
+    partitions the forward — the multi-chip serving analog of the reference's
+    single-GPU ONNX session (infer/runtimes/onnx.py). Batches that don't
+    divide the mesh are padded up and cropped after.
+    """
+
+    def __init__(self, module, variables: Dict[str, Any], output_names: List[str],
+                 dtype: Optional[str] = None, data_parallel: bool = False):
         import jax
 
         _enable_compile_cache()
@@ -76,6 +85,11 @@ class XLARuntime(BaseRuntime):
         self.variables = variables
         self.output_names = output_names
         self._fns: Dict[Tuple, Callable] = {}
+        self._mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from jax.sharding import Mesh
+
+            self._mesh = Mesh(np.array(jax.devices()), ("data",))
 
     def _fn(self, shape: Tuple) -> Callable:
         import jax
@@ -83,10 +97,23 @@ class XLARuntime(BaseRuntime):
         if shape not in self._fns:
             module = self.module
 
-            @jax.jit
-            def fwd(variables, images):
-                out, _ = module.apply(variables, images, train=False)
-                return out
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_sharding = NamedSharding(self._mesh, P("data"))
+                replicated = NamedSharding(self._mesh, P())
+
+                @functools.partial(jax.jit, in_shardings=(replicated, batch_sharding))
+                def fwd(variables, images):
+                    out, _ = module.apply(variables, images, train=False)
+                    return out
+
+            else:
+
+                @jax.jit
+                def fwd(variables, images):
+                    out, _ = module.apply(variables, images, train=False)
+                    return out
 
             self._fns[shape] = fwd
         return self._fns[shape]
@@ -96,8 +123,15 @@ class XLARuntime(BaseRuntime):
         import jax.numpy as jnp
 
         x = jnp.asarray(images)
+        n = x.shape[0]
+        pad = 0
+        if self._mesh is not None:
+            d = self._mesh.devices.size
+            pad = (-n) % d
+            if pad:
+                x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
         out = jax.block_until_ready(self._fn(tuple(x.shape))(self.variables, x))
-        return [np.asarray(getattr(out, n)) for n in self.output_names]
+        return [np.asarray(getattr(out, name))[:n] for name in self.output_names]
 
 
 class StableHLORuntime(BaseRuntime):
@@ -129,11 +163,12 @@ def load_runtime(
     variables=None,
     artifact_path: Optional[str] = None,
     output_names: List[str],
+    data_parallel: bool = False,
 ) -> BaseRuntime:
     """RuntimeType → runtime factory (reference: infer/runtimes/load_runtime.py:25)."""
     if runtime_type in (RuntimeType.XLA_TPU_BF16, RuntimeType.XLA_TPU_FP32, RuntimeType.XLA_CPU):
         assert module is not None and variables is not None
-        return XLARuntime(module, variables, output_names)
+        return XLARuntime(module, variables, output_names, data_parallel=data_parallel)
     if runtime_type == RuntimeType.STABLEHLO:
         assert artifact_path is not None
         return StableHLORuntime(artifact_path, output_names)

@@ -75,3 +75,25 @@ def test_weight_save_load_roundtrip(tiny_model, tmp_path_factory):
     tiny_model.load_weights(p, strict=True)
     after = jax.tree.leaves(tiny_model.variables["params"])[0]
     np.testing.assert_allclose(np.asarray(before), np.asarray(after))
+
+
+def test_data_parallel_serving_matches_single_device(tiny_model, tmp_path_factory):
+    """Batch sharded over the 8-device mesh produces identical detections,
+    including the pad path for non-divisible batches."""
+    import jax
+
+    from focoos_tpu.infer.infer_model import InferModel
+
+    out = str(tmp_path_factory.mktemp("dp"))
+    tiny_model.export(RuntimeType.XLA_CPU, out_dir=out, image_size=96)
+    single = InferModel(out, RuntimeType.XLA_CPU)
+    dp = InferModel(out, RuntimeType.XLA_CPU, data_parallel=True)
+    assert dp.runtime._mesh is not None and dp.runtime._mesh.devices.size == len(jax.devices())
+
+    imgs = [np.random.randint(0, 255, (96, 96, 3), np.uint8) for _ in range(11)]
+    r1 = single(imgs, threshold=0.0)
+    r2 = dp(imgs, threshold=0.0)
+    assert len(r1) == len(r2) == 11
+    for a, b in zip(r1, r2):
+        assert [d.bbox for d in a.detections] == [d.bbox for d in b.detections]
+        assert [d.cls_id for d in a.detections] == [d.cls_id for d in b.detections]
