@@ -41,6 +41,9 @@ class SwinConfig(BackboneConfig):
     patch_norm: bool = True
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     frozen_stages: int = -1
+    # jax.checkpoint each block: recompute activations in backward for a
+    # large memory cut (identical numerics) — see ResnetConfig.remat
+    remat: bool = False
 
     def resolved(self) -> dict:
         if self.model_size:
@@ -203,9 +206,11 @@ class Swin(BaseBackbone):
         total = sum(depths)
         rates = [cfg.drop_path_rate * k / max(total - 1, 1) for k in range(total)]
         blk = 0
+        # h/w/train are python statics (argnums count self as 0)
+        block_ctor = nn.remat(SwinBlock, static_argnums=(2, 3, 4)) if cfg.remat else SwinBlock
         for i, depth in enumerate(depths):
             for j in range(depth):
-                x = SwinBlock(
+                x = block_ctor(
                     dim=dim, num_heads=num_heads[i], window_size=ws,
                     shift_size=0 if j % 2 == 0 else ws // 2,
                     mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,

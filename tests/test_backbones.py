@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from focoos_tpu.nn.backbone.resnet import ResNet, ResnetConfig
@@ -36,3 +37,49 @@ def test_resnet_variant_b_stem():
     vars_ = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(vars_, x)
     assert out["res2"].shape == (1, 16, 16, 64)
+
+
+def test_resnet_remat_identical_numerics():
+    """jax.checkpoint rematerialization: forward bit-identical, grads equal
+    to reassociation noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.nn.backbone.resnet import ResNet, ResnetConfig
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    m0 = ResNet(config=ResnetConfig(depth=18, remat=False))
+    m1 = ResNet(config=ResnetConfig(depth=18, remat=True))
+    v = m0.init(jax.random.PRNGKey(1), x)
+
+    o0 = m0.apply(v, x)["res5"]
+    o1 = m1.apply(v, x)["res5"]
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+    def loss(mod):
+        def f(params):
+            out = mod.apply({"params": params, "batch_stats": v.get("batch_stats", {})}, x)
+            return sum(jnp.sum(o**2) for o in out.values())
+        return f
+
+    g0 = jax.grad(loss(m0))(v["params"])
+    g1 = jax.grad(loss(m1))(v["params"])
+    rel = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9)), g0, g1)
+    assert max(jax.tree.leaves(rel)) < 1e-5
+
+
+def test_swin_remat_forward_identical():
+    import jax
+
+    from focoos_tpu.nn.backbone.swin import Swin, SwinConfig
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    cfg = dict(model_size=None, embed_dim=24, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
+               window_size=4, drop_path_rate=0.0)
+    m0 = Swin(config=SwinConfig(**cfg, remat=False))
+    m1 = Swin(config=SwinConfig(**cfg, remat=True))
+    v = m0.init(jax.random.PRNGKey(1), x)
+    o0 = m0.apply(v, x)["res5"]
+    o1 = m1.apply(v, x)["res5"]
+    # remat changes XLA fusion boundaries -> reassociation noise only
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
