@@ -127,6 +127,66 @@ class MaskFormerProcessor(Processor):
         )
         return inst
 
+    def panoptic_inference(
+        self,
+        cls_probs: np.ndarray,   # [Q, C] softmax class probabilities (no void column)
+        masks: np.ndarray,       # [Q, H, W] mask probabilities
+        thing_ids: Optional[set] = None,
+        object_threshold: float = 0.8,
+        overlap_threshold: float = 0.8,
+        label_divisor: int = 1000,
+    ) -> Tuple[np.ndarray, List[dict]]:
+        """Combine queries into a panoptic id map (Mask2Former semantics; the
+        reference declares the "panoptic" postprocessing option in
+        fai_mf/config.py:41 but never implements it — this completes it).
+
+        Returns (pan_map [H, W] int32 with ids ``cls * label_divisor + inst``
+        and 0 = void — the encoding PanopticEvaluator consumes — and a
+        segments_info list of {id, category_id, isthing, area}).
+        """
+        thing_ids = thing_ids or set()
+        scores = cls_probs.max(-1)
+        labels = cls_probs.argmax(-1)
+        keep = scores > object_threshold
+        h, w = masks.shape[-2:]
+        pan = np.zeros((h, w), np.int32)
+        segments: List[dict] = []
+        if not keep.any():
+            return pan, segments
+
+        cur_scores = scores[keep]
+        cur_labels = labels[keep]
+        cur_masks = masks[keep]
+        # each pixel goes to the query with the highest score-weighted mask prob
+        mask_ids = (cur_scores[:, None, None] * cur_masks).argmax(0)
+        stuff_segment_by_class: dict = {}
+        inst_counter: dict = {}
+        for k in range(cur_masks.shape[0]):
+            cls = int(cur_labels[k])
+            orig = cur_masks[k] >= 0.5
+            won = (mask_ids == k) & orig
+            orig_area = int(orig.sum())
+            area = int(won.sum())
+            if area == 0 or orig_area == 0 or area / orig_area < overlap_threshold:
+                continue
+            isthing = cls in thing_ids
+            if not isthing and cls in stuff_segment_by_class:
+                # merge stuff fragments of the same class into one segment
+                seg_id = stuff_segment_by_class[cls]
+                pan[won] = seg_id
+                for s in segments:
+                    if s["id"] == seg_id:
+                        s["area"] += area
+                continue
+            inst = inst_counter.get(cls, 0) + 1
+            inst_counter[cls] = inst
+            seg_id = cls * label_divisor + inst
+            pan[won] = seg_id
+            if not isthing:
+                stuff_segment_by_class[cls] = seg_id
+            segments.append({"id": int(seg_id), "category_id": cls, "isthing": isthing, "area": area})
+        return pan, segments
+
     def eval_postprocess(self, output: MaskFormerModelOutput, batched_inputs: List[DatasetEntry], **kw):
         cls_pred = np.asarray(output.logits)
         mask_pred = np.asarray(output.masks)

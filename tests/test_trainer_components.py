@@ -138,3 +138,33 @@ def test_panoptic_evaluator_pq():
     ev3 = PanopticEvaluator(2, thing_ids=[0])
     ev3.process([{"pan_seg": gt}], [{"panoptic_seg": (pred3, None)}])
     assert ev3.evaluate()["panoptic_seg"]["PQ"] == pytest.approx(50.0)
+
+
+def test_panoptic_inference_to_evaluator_loop():
+    """MF panoptic_inference output feeds PanopticEvaluator: self-eval PQ=100,
+    stuff fragments of one class merge into one segment."""
+    from focoos_tpu.models.fai_mf.config import MaskFormerConfig
+    from focoos_tpu.models.fai_mf.processor import MaskFormerProcessor
+    from focoos_tpu.trainer.evaluation import PanopticEvaluator
+
+    p = MaskFormerProcessor(MaskFormerConfig(num_classes=3), image_size=64)
+    H = W = 8
+    cls_probs = np.array([[0.95, 0.03, 0.02], [0.05, 0.05, 0.9], [0.4, 0.3, 0.3]])
+    masks = np.zeros((3, H, W), np.float32)
+    masks[0, :, :4] = 0.9
+    masks[1, :, 4:] = 0.9
+    masks[2] = 0.6
+    pan, segs = p.panoptic_inference(cls_probs, masks, thing_ids={0})
+    assert len(segs) == 2
+    assert (pan[:, :4] == 1).all() and (pan[:, 4:] == 2001).all()
+
+    cls2 = np.array([[0.05, 0.05, 0.9], [0.05, 0.05, 0.9]])
+    m2 = np.zeros((2, H, W), np.float32)
+    m2[0, :4] = 0.9
+    m2[1, 4:] = 0.9
+    _, segs2 = p.panoptic_inference(cls2, m2, thing_ids={0})
+    assert len(segs2) == 1 and segs2[0]["area"] == H * W
+
+    ev = PanopticEvaluator(num_classes=3, thing_ids=[0])
+    ev.process([{"pan_seg": pan}], [{"panoptic_seg": (pan, segs)}])
+    assert ev.evaluate()["panoptic_seg"]["PQ"] == pytest.approx(100.0)
