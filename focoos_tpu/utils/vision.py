@@ -41,7 +41,9 @@ def image_loader(source) -> np.ndarray:
 
 
 def _color_for(cls_id: int) -> tuple:
-    return (int(cls_id * 67 % 255), int(cls_id * 131 % 255), int(cls_id * 29 % 255))
+    # offset keeps class 0 visible (pure black would vanish on dark images)
+    k = cls_id + 1
+    return (int((k * 67 + 80) % 255), int((k * 131 + 40) % 255), int((k * 29 + 160) % 255))
 
 
 def mask_to_base64_png(mask: np.ndarray) -> str:

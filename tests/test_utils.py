@@ -1,0 +1,68 @@
+"""Utils tests (reference model: tests/utils/ — vision conversions + metrics
+parsing with a fabricated metrics.json)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_image_loader_sources(tmp_path):
+    from PIL import Image
+
+    from focoos_tpu.utils.vision import image_loader
+
+    rgb = np.random.randint(0, 255, (10, 12, 3), np.uint8)
+    # ndarray passthrough
+    np.testing.assert_array_equal(image_loader(rgb), rgb)
+    # grayscale -> 3 channels
+    assert image_loader(rgb[..., 0]).shape == (10, 12, 3)
+    # RGBA drops alpha
+    rgba = np.concatenate([rgb, np.full((10, 12, 1), 255, np.uint8)], -1)
+    assert image_loader(rgba).shape == (10, 12, 3)
+    # PIL
+    np.testing.assert_array_equal(image_loader(Image.fromarray(rgb)), rgb)
+    # path + bytes
+    p = tmp_path / "x.png"
+    Image.fromarray(rgb).save(p)
+    np.testing.assert_array_equal(image_loader(str(p)), rgb)
+    np.testing.assert_array_equal(image_loader(p.read_bytes()), rgb)
+
+
+def test_annotate_image_draws():
+    from focoos_tpu.ports import FocoosDet, FocoosDetections
+    from focoos_tpu.utils.vision import annotate_image
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    dets = FocoosDetections(detections=[FocoosDet(bbox=[4, 4, 20, 20], conf=0.9, cls_id=0, label="a")])
+    out = annotate_image(img, dets, classes=["a"])
+    out = np.asarray(out)
+    assert out.shape == img.shape
+    assert out.sum() > 0  # something was drawn
+
+
+def test_parse_metrics_fabricated_jsonl(tmp_path):
+    from focoos_tpu.utils.metrics import parse_metrics
+
+    rows = [
+        {"iteration": 0, "total_loss": 9.0, "loss_bbox": 3.0},
+        {"iteration": 2, "total_loss": 5.0, "bbox/AP": 11.0},
+        {"iteration": 4, "total_loss": 4.0, "bbox/AP": 17.5},
+        "not json at all",
+    ]
+    p = tmp_path / "metrics.json"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write((json.dumps(r) if isinstance(r, dict) else r) + "\n")
+    m = parse_metrics(str(p))
+    assert len(m.train_metrics) == 3
+    assert len(m.valid_metrics) == 2
+    assert m.best_valid_metric is not None
+    assert m.best_valid_metric.get("bbox/AP") == pytest.approx(17.5)
+
+
+def test_parse_metrics_missing_file():
+    from focoos_tpu.utils.metrics import parse_metrics
+
+    m = parse_metrics("/definitely/not/here/metrics.json")
+    assert m.train_metrics == [] and m.valid_metrics == []
