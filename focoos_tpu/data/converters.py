@@ -129,3 +129,34 @@ def resize_dataset(src_dir: str, dst_dir: str, max_size: int = 1024) -> str:
         with open(os.path.join(ddir, "_annotations.coco.json"), "w") as f:
             json.dump(coco, f)
     return dst_dir
+
+
+def get_output_shape(old_height: int, old_width: int, short_edge_length: int, max_size: int) -> Tuple[int, int]:
+    """(new_h, new_w) scaling the short edge to ``short_edge_length`` capped at
+    ``max_size`` (reference: transforms/resize_short_length.py:8)."""
+    scale = short_edge_length / min(old_height, old_width)
+    if old_height < old_width:
+        new_h, new_w = short_edge_length, old_width * scale
+    else:
+        new_h, new_w = old_height * scale, short_edge_length
+    if max(new_h, new_w) > max_size:
+        scale = max_size / max(new_h, new_w)
+        new_h, new_w = new_h * scale, new_w * scale
+    return int(new_h + 0.5), int(new_w + 0.5)
+
+
+def resize_shortest_length(
+    im_path: str, out_path: str, shortest_length: int = 1024, max_size: int = 2048, is_mask: bool = False
+) -> str:
+    """Resize one image (or label mask: nearest) to a short-edge target and
+    write it under ``out_path`` (reference: transforms/resize_short_length.py:29)."""
+    import cv2
+
+    os.makedirs(out_path, exist_ok=True)
+    dst = os.path.join(out_path, os.path.basename(im_path))
+    flags = cv2.IMREAD_UNCHANGED if is_mask else cv2.IMREAD_COLOR
+    im = cv2.imread(im_path, flags)
+    new_h, new_w = get_output_shape(im.shape[0], im.shape[1], shortest_length, max_size)
+    interp = cv2.INTER_NEAREST if is_mask else cv2.INTER_LINEAR
+    cv2.imwrite(dst, cv2.resize(im, (new_w, new_h), interpolation=interp))
+    return dst

@@ -34,6 +34,7 @@ __all__ = [
     "ClassificationEvaluator",
     "get_evaluator",
     "inference_on_dataset",
+    "print_csv_format",
     "evaluate_dataset",
 ]
 
@@ -80,3 +81,17 @@ def evaluate_dataset(model, dataset, batch_size: int = 8, evaluator: Optional[Da
     if evaluator is None:
         evaluator = get_evaluator(model.task, len(model.classes), model.classes)
     return inference_on_dataset(model, dataset, evaluator, batch_size=batch_size)
+
+
+def print_csv_format(results: Dict) -> None:
+    """Log evaluator results as copy-pasteable task,metric,value lines
+    (reference: trainer/evaluation/utils.py:9)."""
+    for task in sorted(results):
+        res = results[task]
+        if not isinstance(res, dict):
+            logger.info(f"{task}: {res}")
+            continue
+        important = {k: v for k, v in res.items() if "-" not in k}
+        logger.info(f"copypaste: Task: {task}")
+        logger.info("copypaste: " + ",".join(important.keys()))
+        logger.info("copypaste: " + ",".join(f"{v:.4f}" if isinstance(v, float) else str(v) for v in important.values()))

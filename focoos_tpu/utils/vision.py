@@ -98,3 +98,21 @@ def annotate_image(
                 if v > 0.3:
                     cv2.circle(img, (int(x), int(y)), 3, color, -1)
     return img
+
+
+def cmap_builder(classes: Optional[List[int]] = None, normalized: bool = False) -> np.ndarray:
+    """PASCAL-VOC bit-interleaved 256-color map (reference:
+    utils/cmap_builder.py:6); unlisted entries default to gray 160."""
+    idxs = list(range(256)) if classes is None else list(classes)
+    dtype = "float32" if normalized else "uint8"
+    cmap = np.zeros((256, 3), dtype=dtype) + 160
+    for idx in idxs:
+        r = g = b = 0
+        c = idx
+        for j in range(8):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        cmap[idx] = np.array([r, g, b])
+    return cmap / 255 if normalized else cmap
