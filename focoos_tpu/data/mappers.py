@@ -19,9 +19,12 @@ logger = get_logger(__name__)
 
 
 def _read_image(path: str) -> np.ndarray:
-    from PIL import Image
+    """RGB uint8 with EXIF orientation applied (reference: data/utils.py:310
+    _apply_exif_orientation — phone photos are often stored rotated)."""
+    from PIL import Image, ImageOps
 
     with Image.open(path) as im:
+        im = ImageOps.exif_transpose(im)
         return np.asarray(im.convert("RGB"))
 
 

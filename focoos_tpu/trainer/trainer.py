@@ -210,7 +210,9 @@ class FocoosTrainer:
         from focoos_tpu.utils.logger import capture_all_output
 
         capture_all_output(os.path.join(self.run_dir, ArtifactName.LOGS.value))
-        np.random.seed(args.seed)
+        from focoos_tpu.utils.system import seed_all_rng
+
+        seed_all_rng(args.seed)
 
         self._set_status(ModelStatus.TRAINING_STARTING)
         model = self.model

@@ -2,10 +2,13 @@
 
 from __future__ import annotations
 
+import os
 import platform
 import sys
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
+
+import numpy as np
 
 
 @dataclass
@@ -76,3 +79,15 @@ def get_system_info() -> SystemInfo:
         process_count=jax.process_count(),
         packages=packages,
     )
+
+
+def seed_all_rng(seed: Optional[int] = None) -> int:
+    """Seed python/numpy RNGs; returns the seed (derives one from os.urandom
+    when None — reference: utils/env.py:21)."""
+    import random as _random
+
+    if seed is None:
+        seed = int.from_bytes(os.urandom(4), "little")
+    _random.seed(seed)
+    np.random.seed(seed % (2**32))
+    return seed
