@@ -156,3 +156,14 @@ def test_aspect_ratio_grouping_buckets():
         assert len(batch) == 4
         wides = [e.width > e.height for e in batch]
         assert all(wides) or not any(wides)
+
+
+def test_catalog_registry_lists_builtins():
+    from focoos_tpu.data.catalog import list_catalog, load_catalog_split
+    from focoos_tpu.ports import DatasetSplitType
+
+    names = list_catalog()
+    assert len(names) >= 3
+    # loading without the data on disk raises a clear error, not a crash
+    with pytest.raises((FileNotFoundError, ValueError, AssertionError)):
+        load_catalog_split(names[0], DatasetSplitType.TRAIN)
