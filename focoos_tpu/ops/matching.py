@@ -23,13 +23,18 @@ NEG_INF = -1e30
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
-def auction_assign(cost: jnp.ndarray, valid_rows: jnp.ndarray, eps: float = 1e-3, max_iters: int = 500):
+def auction_assign(cost: jnp.ndarray, valid_rows: jnp.ndarray, eps: float = 1e-2, max_iters: int = 500):
     """Assign each valid row a distinct column minimizing total cost.
 
     Args:
         cost: [N, Q] cost matrix (N rows = targets, Q ≥ N columns = queries).
         valid_rows: [N] bool; invalid rows are not assigned.
-        eps: bid increment (optimality gap ≤ N * eps).
+        eps: bid increment RELATIVE to the cost range (costs are normalized
+            internally, so iterations don't scale with cost magnitude);
+            optimality gap ≤ N * eps * range. With Q >> N contention is low
+            and eps=1e-2 matches scipy exactly on DETR-scale problems
+            (tests/test_ops.py) while converging in ~10x fewer rounds than
+            an absolute 1e-3 on raw losses.
         max_iters: static bound on auction rounds.
 
     Returns:
@@ -37,7 +42,12 @@ def auction_assign(cost: jnp.ndarray, valid_rows: jnp.ndarray, eps: float = 1e-3
         rows — mask with ``valid_rows``).
     """
     n, q = cost.shape
-    value = jnp.where(valid_rows[:, None], -cost.astype(jnp.float32), NEG_INF)
+    cost = cost.astype(jnp.float32)
+    finite = jnp.where(valid_rows[:, None], cost, 0.0)
+    lo = jnp.min(finite)
+    span = jnp.maximum(jnp.max(finite) - lo, 1e-9)
+    cost = (cost - lo) / span
+    value = jnp.where(valid_rows[:, None], -cost, NEG_INF)
 
     def cond(state):
         it, prices, owner_row, assign = state
@@ -98,6 +108,6 @@ def auction_assign(cost: jnp.ndarray, valid_rows: jnp.ndarray, eps: float = 1e-3
     return fill_unassigned(assign).astype(jnp.int32)
 
 
-def batched_auction_assign(cost: jnp.ndarray, valid_rows: jnp.ndarray, eps: float = 1e-3, max_iters: int = 500):
+def batched_auction_assign(cost: jnp.ndarray, valid_rows: jnp.ndarray, eps: float = 1e-2, max_iters: int = 500):
     """vmap over the batch: cost [B, N, Q], valid_rows [B, N] → [B, N]."""
     return jax.vmap(lambda c, v: auction_assign(c, v, eps=eps, max_iters=max_iters))(cost, valid_rows)
