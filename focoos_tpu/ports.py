@@ -341,6 +341,10 @@ class TrainerArgs:
     # TPU-specific
     max_instances_per_image: int = 100  # static padding of per-image targets
     donate_state: bool = True  # buffer donation in the jitted train step
+    # K optimizer steps per host dispatch (lax.scan inside one XLA call) —
+    # amortizes host/dispatch latency on remote or host-bound setups.
+    # Hook periods (log/ckpt/eval) should be multiples of this.
+    steps_per_call: int = 1
     mesh_shape: Optional[Tuple[int, ...]] = None  # default: (num_devices,) data mesh
 
     # Back-compat aliases for reference scripts.

@@ -43,18 +43,12 @@ def create_train_state(
     )
 
 
-def build_train_step(
-    loss_fn: Callable,  # (variables, batch, rng) -> (total_loss, (metrics, new_model_state))
+def _make_step_body(
+    loss_fn: Callable,
     tx: optax.GradientTransformation,
-    mesh: Optional[Mesh] = None,
     ema_decay_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
-    donate: bool = True,
 ):
-    """Compile a full train step.
-
-    ``loss_fn`` must be pure and already close over the module/criterion; it
-    receives ``variables = {"params", "batch_stats"}`` and the sharded batch.
-    """
+    """The un-jitted single-step body shared by single and multi-step builds."""
 
     def step_fn(state: TrainState, batch: Any, rng: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -85,6 +79,23 @@ def build_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    return step_fn
+
+
+def build_train_step(
+    loss_fn: Callable,  # (variables, batch, rng) -> (total_loss, (metrics, new_model_state))
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    ema_decay_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    donate: bool = True,
+):
+    """Compile a full train step.
+
+    ``loss_fn`` must be pure and already close over the module/criterion; it
+    receives ``variables = {"params", "batch_stats"}`` and the sharded batch.
+    """
+    step_fn = _make_step_body(loss_fn, tx, ema_decay_fn)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -92,6 +103,49 @@ def build_train_step(
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def build_multi_train_step(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    steps_per_call: int,
+    mesh: Optional[Mesh] = None,
+    ema_decay_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    donate: bool = True,
+):
+    """K optimizer steps per host dispatch via ``lax.scan``.
+
+    The TPU-idiomatic fix for host-bound training loops (remote tunnels,
+    small models, slow drivers): one dispatch + one metric fetch amortize
+    over ``steps_per_call`` real steps. The LR schedule still advances per
+    inner step (it reads the optax step counter). Metrics returned are the
+    mean over the K inner steps.
+
+    Input batch: a pytree whose leaves are stacked ``[K, ...]``.
+    """
+    single = _make_step_body(loss_fn, tx, ema_decay_fn)
+
+    def multi_fn(state, batches, rng):
+        rngs = jax.random.split(rng, steps_per_call)
+
+        def body(state, xs):
+            batch, r = xs
+            state, metrics = single(state, batch, r)
+            return state, metrics
+
+        state, metrics = jax.lax.scan(body, state, (batches, rngs))
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+
+    if mesh is None:
+        return jax.jit(multi_fn, donate_argnums=(0,) if donate else ())
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, "data"))  # leading K axis unsharded
+    return jax.jit(
+        multi_fn,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),

@@ -51,6 +51,7 @@ class TrainerLoop:
         start_iter: int = 0,
         gather_metric_period: int = 1,
         nan_guard: bool = True,
+        steps_per_call: int = 1,
     ):
         self.step_fn = step_fn
         self.state = state
@@ -60,6 +61,7 @@ class TrainerLoop:
         self.iter = start_iter
         self.gather_metric_period = gather_metric_period
         self.nan_guard = nan_guard
+        self.steps_per_call = max(1, int(steps_per_call))
         self.hooks: List[HookBase] = []
         self.storage: Optional[EventStorage] = None
         self._rng = jax.random.PRNGKey(0)
@@ -86,14 +88,17 @@ class TrainerLoop:
             try:
                 for h in self.hooks:
                     h.before_train()
-                for self.iter in range(self.start_iter, self.max_iter):
+                self.iter = self.start_iter
+                while self.iter < self.max_iter:
                     self.storage.iter = self.iter
                     for h in self.hooks:
                         h.before_step()
                     self.run_step()
                     for h in self.hooks:
                         h.after_step()
-                self.iter += 1
+                    self.iter += self.steps_per_call
+                # keep reference semantics: self.iter == max_iter after the loop
+                self.iter = min(self.iter, self.max_iter)
             except EarlyStopException:
                 logger.info("Early stopping triggered")
             except Exception:
@@ -106,7 +111,23 @@ class TrainerLoop:
 
     def run_step(self) -> None:
         t0 = time.perf_counter()
-        batch = next(self._data_iter)
+        if self.steps_per_call == 1:
+            batch = next(self._data_iter)
+        else:
+            # stack K batches along a new leading axis for the scanned step;
+            # zero-pad to the groupwise max shape (same semantics as the
+            # ImageList batch padding). Fixed-size augmentations avoid both
+            # the padding and shape-driven recompiles.
+            parts = [next(self._data_iter) for _ in range(self.steps_per_call)]
+
+            def stack_pad(*xs):
+                if all(x.shape == xs[0].shape for x in xs):
+                    return jnp.stack(xs)
+                tgt = tuple(max(x.shape[d] for x in xs) for d in range(xs[0].ndim))
+                xs = [jnp.pad(x, [(0, t - s) for s, t in zip(x.shape, tgt)]) for x in xs]
+                return jnp.stack(xs)
+
+            batch = jax.tree.map(stack_pad, *parts)
         data_time = time.perf_counter() - t0
 
         self._rng, step_rng = jax.random.split(self._rng)
@@ -237,14 +258,25 @@ class FocoosTrainer:
         state = create_train_state(dict(model.variables), tx, ema_enabled=args.ema_enabled)
         loss_fn = _make_family_loss_fn(model)
         ema_fn = ema_decay_schedule(args.ema_decay, args.ema_warmup) if args.ema_enabled else None
-        step_fn = build_train_step(loss_fn, tx, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state)
+        spc = max(1, int(getattr(args, "steps_per_call", 1)))
+        if spc > 1:
+            from focoos_tpu.trainer.train_step import build_multi_train_step
+
+            step_fn = build_multi_train_step(
+                loss_fn, tx, spc, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state
+            )
+            logger.info(f"Multi-step dispatch: {spc} optimizer steps per host call")
+        else:
+            step_fn = build_train_step(loss_fn, tx, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state)
         state = replicate(state, mesh)
 
         loader = self._build_loader()
 
         def device_batches():
             for batch in loader:
-                yield shard_batch(batch, mesh)
+                # multi-step: host batches are stacked in the loop, then
+                # placed by the jit in_shardings (leading K axis unsharded)
+                yield batch if spc > 1 else shard_batch(batch, mesh)
 
         ckpt_dir = args.ckpt_dir or os.path.join(self.run_dir, "ckpt")
         checkpointer = Checkpointer(state, ckpt_dir)
@@ -265,6 +297,7 @@ class FocoosTrainer:
             max_iter=args.max_iters,
             start_iter=start_iter,
             gather_metric_period=args.gather_metric_period,
+            steps_per_call=spc,
         )
         self._register_hooks(loop, checkpointer, schedule)
         if args.resume and start_iter > 0 and isinstance(resume_extra.get("hooks"), dict):

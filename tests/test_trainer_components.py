@@ -168,3 +168,44 @@ def test_panoptic_inference_to_evaluator_loop():
     ev = PanopticEvaluator(num_classes=3, thing_ids=[0])
     ev.process([{"pan_seg": pan}], [{"panoptic_seg": (pan, segs)}])
     assert ev.evaluate()["panoptic_seg"]["PQ"] == pytest.approx(100.0)
+
+
+def test_multi_train_step_matches_iterated_single_steps():
+    """build_multi_train_step(K) produces the same final params as K single
+    steps with the same per-step rngs and batches."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from focoos_tpu.trainer.train_step import (
+        build_multi_train_step,
+        build_train_step,
+        create_train_state,
+    )
+
+    def loss_fn(variables, batch, rng):
+        w = variables["params"]["w"]
+        x, y = batch
+        pred = x @ w
+        loss = jnp.mean((pred - y) ** 2)
+        return loss, ({"l": loss}, {"batch_stats": variables["batch_stats"]})
+
+    tx = optax.sgd(0.1)
+    variables = {"params": {"w": jnp.ones((3, 1))}, "batch_stats": {}}
+    k = jax.random.PRNGKey(0)
+    xs = jax.random.normal(k, (4, 8, 3))
+    ys = jax.random.normal(jax.random.fold_in(k, 1), (4, 8, 1))
+
+    single = build_train_step(loss_fn, tx, donate=False)
+    s1 = create_train_state(dict(variables), tx)
+    rngs = jax.random.split(jax.random.PRNGKey(7), 4)
+    for i in range(4):
+        s1, _ = single(s1, (xs[i], ys[i]), rngs[i])
+
+    multi = build_multi_train_step(loss_fn, tx, steps_per_call=4, donate=False)
+    s2 = create_train_state(dict(variables), tx)
+    # multi splits its own rngs; loss here ignores rng so streams don't matter
+    s2, metrics = multi(s2, (xs, ys), jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(s1.params["w"]), np.asarray(s2.params["w"]), rtol=1e-6)
+    assert int(s2.step) == 4
+    assert metrics["l"].shape == ()  # averaged over the K steps
