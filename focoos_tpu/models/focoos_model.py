@@ -173,18 +173,36 @@ class FocoosModel:
 
     # ------------------------------------------------------------------
     def benchmark(self, iterations: int = 50, size: Optional[Union[int, Tuple[int, int]]] = None) -> LatencyMetrics:
-        """Device-only forward latency (reference: focoos_model.py:694)."""
+        """Device-only forward latency (reference: focoos_model.py:694).
+
+        Measures via a chained ``lax.scan`` of forwards with a data dependency
+        between iterations, fetching one scalar per trial — the only timing
+        method that survives remote device tunnels, where per-call
+        ``block_until_ready`` returns before device completion and adds
+        host RTT to every sample.
+        """
         size = size or self.im_size
         hw = (size, size) if isinstance(size, int) else tuple(size)
-        x = jnp.asarray(np.random.randint(0, 255, (1, *hw, 3), np.uint8))
-        fwd = self._forward_fn(tuple(x.shape))
-        for _ in range(3):  # warmup + compile
-            jax.block_until_ready(fwd(self.variables, x))
+        x = jnp.asarray(np.random.rand(1, *hw, 3).astype(np.float32) * 255.0)
+        module, variables = self.module, self.variables
+        chain = max(1, iterations // 5)
+
+        @jax.jit
+        def run(img):
+            def body(im, _):
+                out, _aux = module.apply(variables, im, train=False)
+                leaf = jax.tree.leaves(out)[0]
+                return im + (jnp.mean(leaf) * 1e-24).astype(im.dtype), None
+
+            final, _ = jax.lax.scan(body, img, None, length=chain)
+            return jnp.mean(final)
+
+        float(run(x))  # compile + warm
         times = []
-        for _ in range(iterations):
+        for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(fwd(self.variables, x))
-            times.append((time.perf_counter() - t0) * 1000)
+            float(run(x))  # scalar fetch forces completion
+            times.append((time.perf_counter() - t0) * 1000 / chain)
         arr = np.array(times)
         dev = jax.local_devices()[0]
         return LatencyMetrics(
