@@ -41,6 +41,16 @@ def export_model(
     model.model_info.im_size = hw[0] if hw[0] == hw[1] else hw
     model.model_info.dump_json(out_dir)
 
+    if runtime_type == RuntimeType.XLA_TPU_INT8:
+        from focoos_tpu.infer.quantizer import quantize_weights_int8
+
+        store, _snr = quantize_weights_int8(model.variables)
+        import numpy as _np
+
+        path = os.path.join(out_dir, ArtifactName.WEIGHTS_INT8.value)
+        _np.savez(path, **store)
+        logger.info(f"Exported int8 weights to {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
+
     if runtime_type == RuntimeType.STABLEHLO:
         import jax
         import jax.numpy as jnp

@@ -51,6 +51,17 @@ class InferModel:
                     f"(extension↔runtime validation, reference infer_model.py:96)"
                 )
             self.runtime = load_runtime(runtime_type, artifact_path=artifact, output_names=output_names)
+        elif runtime_type == RuntimeType.XLA_TPU_INT8:
+            artifact = os.path.join(model_dir, ArtifactName.WEIGHTS_INT8.value)
+            if not os.path.isfile(artifact):
+                raise FileNotFoundError(
+                    f"{artifact} missing — export with RuntimeType.XLA_TPU_INT8 first"
+                )
+            builder_model = ModelManager.get(model_dir, dtype="bfloat16")
+            self.runtime = load_runtime(
+                runtime_type, module=builder_model.module, artifact_path=artifact,
+                output_names=output_names,
+            )
         else:
             dtype = "bfloat16" if runtime_type == RuntimeType.XLA_TPU_BF16 else "float32"
             builder_model = ModelManager.get(model_dir, dtype=dtype)

@@ -55,7 +55,7 @@ def quantize_weights_int8(variables: Dict[str, Any]) -> Tuple[Dict[str, np.ndarr
             deq = q.astype(np.float32) * scale
             err = float(((v - deq) ** 2).sum())
             sig = float((v**2).sum())
-            snr[k] = 10 * np.log10(sig / max(err, 1e-20))
+            snr[k] = 10 * np.log10(max(sig, 1e-20) / max(err, 1e-20))
             out[k + "@q"] = q
             out[k + "@scale"] = scale.astype(np.float32)
             n_q += 1

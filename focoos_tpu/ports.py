@@ -101,12 +101,16 @@ class RuntimeType(str, Enum):
       analog of ONNX_TRT16 — the fast path).
     - ``XLA_TPU_FP32``: jit-compiled on TPU, float32 activations.
     - ``XLA_CPU``: jit-compiled on host CPU (analog of ONNX_CPU).
+    - ``XLA_TPU_INT8``: int8 weights resident in HBM, dequantized inside the
+      jitted forward (the analog of the ONNX INT8 runtime — halves weight
+      memory; XLA fuses the dequant into consumers).
     - ``STABLEHLO``: load a serialized `jax.export` artifact and execute it.
     """
 
     XLA_TPU_BF16 = "xla_tpu_bf16"
     XLA_TPU_FP32 = "xla_tpu_fp32"
     XLA_CPU = "xla_cpu"
+    XLA_TPU_INT8 = "xla_tpu_int8"
     STABLEHLO = "stablehlo"
 
     def __str__(self) -> str:  # pragma: no cover - trivial
@@ -135,6 +139,7 @@ class ArtifactName(str, Enum):
     """Well-known file names inside a model run directory (focoos/ports.py:1366)."""
 
     WEIGHTS = "model_final.npz"
+    WEIGHTS_INT8 = "model_int8.npz"
     STABLEHLO = "model.stablehlo"
     INFO = "model_info.json"
     METRICS = "metrics.json"

@@ -97,3 +97,32 @@ def test_data_parallel_serving_matches_single_device(tiny_model, tmp_path_factor
     for a, b in zip(r1, r2):
         assert [d.bbox for d in a.detections] == [d.bbox for d in b.detections]
         assert [d.cls_id for d in a.detections] == [d.cls_id for d in b.detections]
+
+
+def test_int8_runtime_roundtrip(tiny_model, tmp_path_factory):
+    """XLA_TPU_INT8: export writes model_int8.npz, runtime executes int8
+    weights with dequant fused in-graph; ranking tracks the fp runtime."""
+    from focoos_tpu.infer.infer_model import InferModel
+
+    out = str(tmp_path_factory.mktemp("int8"))
+    im8 = tiny_model.export(RuntimeType.XLA_TPU_INT8, out_dir=out, image_size=96)
+    assert os.path.isfile(os.path.join(out, "model_int8.npz"))
+    fp = InferModel(out, RuntimeType.XLA_CPU)
+
+    img = np.random.randint(0, 255, (96, 96, 3), np.uint8)
+    r8 = im8.infer(img, threshold=0.0)
+    rf = fp.infer(img, threshold=0.0)
+    assert len(r8.detections) == len(rf.detections) > 0
+    s8 = np.array([d.conf for d in r8.detections][:5])
+    sf = np.array([d.conf for d in rf.detections][:5])
+    # random (untrained) weights quantize worst-case; scores still track
+    np.testing.assert_allclose(s8, sf, atol=0.15)
+
+    # missing artifact raises cleanly
+    import pytest as _pytest
+
+    bare = str(tmp_path_factory.mktemp("bare"))
+    tiny_model.save_weights(os.path.join(bare, "model_final.npz"))
+    tiny_model.model_info.dump_json(bare)
+    with _pytest.raises(FileNotFoundError):
+        InferModel(bare, RuntimeType.XLA_TPU_INT8)
