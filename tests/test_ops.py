@@ -102,3 +102,79 @@ def test_deformable_matmul_matches_gather(rng):
     o1 = np.asarray(ms_deform_attn(value, shapes, loc, w))
     o2 = np.asarray(ms_deform_attn_matmul(value, shapes, loc, w))
     np.testing.assert_allclose(o1, o2, atol=1e-4)
+
+
+
+def _np_nms(boxes, scores, thr):
+    """Reference greedy NMS (semantics of torchvision.ops.nms)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x0 = np.maximum(boxes[i, 0], boxes[:, 0]); y0 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x1 = np.minimum(boxes[i, 2], boxes[:, 2]); y1 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / np.maximum(area_i + areas - inter, 1e-12)
+        suppressed |= iou > thr
+        suppressed[i] = False  # keep self
+    return np.sort(np.array(keep))
+
+
+def test_nms_matches_numpy_reference(rng):
+    """Greedy NMS keep-set must match the torchvision.ops.nms semantics it
+    replaces (reference rtmo/modelling.py:1419)."""
+    from focoos_tpu.ops.nms import nms_keep
+
+    for trial in range(5):
+        k = 64
+        boxes = rng.random((k, 4)).astype(np.float32) * 100
+        boxes[:, 2:] = boxes[:, :2] + boxes[:, 2:] * 0.5 + 1.0
+        scores = np.sort(rng.random(k).astype(np.float32))[::-1].copy()  # descending
+        keep = np.asarray(nms_keep(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+        ref_idx = _np_nms(boxes, scores, 0.5)
+        np.testing.assert_array_equal(np.where(keep)[0], ref_idx)
+
+
+def test_point_sample_matches_torch_grid_sample(rng):
+    """Bilinear semantics vs torch.nn.functional.grid_sample
+    (align_corners=False), the kernel it replaces (reference point_rend.py:29)."""
+    import torch
+    import torch.nn.functional as F
+
+    from focoos_tpu.ops.point_sample import point_sample
+
+    masks = rng.random((3, 12, 16)).astype(np.float32)   # [M, H, W]
+    pts = rng.random((3, 33, 2)).astype(np.float32)      # [M, P, 2] xy in [0,1]
+    mine = np.asarray(point_sample(jnp.asarray(masks), jnp.asarray(pts)))
+    grid = torch.from_numpy(pts * 2 - 1).unsqueeze(1)    # [M, 1, P, 2]
+    ref = F.grid_sample(torch.from_numpy(masks).unsqueeze(1), grid,
+                        align_corners=False).squeeze(1).squeeze(1).numpy()
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_giou_matches_reference_math(rng):
+    from focoos_tpu.ops.boxes import generalized_box_iou
+
+    a = rng.random((13, 4)).astype(np.float64)
+    b = rng.random((7, 4)).astype(np.float64)
+    a[:, 2:] = a[:, :2] + a[:, 2:] + 0.01
+    b[:, 2:] = b[:, :2] + b[:, 2:] + 0.01
+    gi = np.asarray(generalized_box_iou(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
+    for i in range(len(a)):
+        for j in range(len(b)):
+            x0, y0 = max(a[i, 0], b[j, 0]), max(a[i, 1], b[j, 1])
+            x1, y1 = min(a[i, 2], b[j, 2]), min(a[i, 3], b[j, 3])
+            inter = max(x1 - x0, 0) * max(y1 - y0, 0)
+            aa = (a[i, 2] - a[i, 0]) * (a[i, 3] - a[i, 1])
+            ab = (b[j, 2] - b[j, 0]) * (b[j, 3] - b[j, 1])
+            union = aa + ab - inter
+            ex0, ey0 = min(a[i, 0], b[j, 0]), min(a[i, 1], b[j, 1])
+            ex1, ey1 = max(a[i, 2], b[j, 2]), max(a[i, 3], b[j, 3])
+            hull = (ex1 - ex0) * (ey1 - ey0)
+            ref = inter / union - (hull - union) / hull
+            assert abs(gi[i, j] - ref) < 1e-5
