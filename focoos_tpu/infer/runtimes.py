@@ -198,14 +198,33 @@ class StableHLORuntime(BaseRuntime):
         with open(artifact_path, "rb") as f:
             self._exported = jax_export.deserialize(f.read())
         self.output_names = output_names
+        # the serialized program has a fixed batch; larger inputs are chunked
+        try:
+            self._batch = int(self._exported.in_avals[0].shape[0])
+        except Exception:
+            self._batch = 1
 
-    def __call__(self, images: np.ndarray) -> List[np.ndarray]:
+    def _call_fixed(self, images) -> List[np.ndarray]:
         import jax
 
         outs = self._exported.call(images)
         outs = jax.block_until_ready(outs)
         flat = outs if isinstance(outs, (list, tuple)) else [outs]
         return [np.asarray(o) for o in flat]
+
+    def __call__(self, images: np.ndarray) -> List[np.ndarray]:
+        images = np.asarray(images)
+        n, b = images.shape[0], self._batch
+        if n == b:
+            return self._call_fixed(images)
+        # pad-and-chunk to the artifact's fixed batch (ONNX fixed-axis analog)
+        chunks: List[List[np.ndarray]] = []
+        for i in range(0, n, b):
+            part = images[i : i + b]
+            if part.shape[0] < b:
+                part = np.concatenate([part, np.repeat(part[-1:], b - part.shape[0], axis=0)])
+            chunks.append(self._call_fixed(part))
+        return [np.concatenate([c[k] for c in chunks])[:n] for k in range(len(chunks[0]))]
 
 
 def load_runtime(

@@ -126,3 +126,18 @@ def test_int8_runtime_roundtrip(tiny_model, tmp_path_factory):
     tiny_model.model_info.dump_json(bare)
     with _pytest.raises(FileNotFoundError):
         InferModel(bare, RuntimeType.XLA_TPU_INT8)
+
+
+def test_stablehlo_chunked_batches(tiny_model, tmp_path_factory):
+    """A fixed-batch StableHLO artifact serves arbitrary batch sizes via
+    pad-and-chunk, with position-invariant results."""
+    from focoos_tpu.infer.infer_model import InferModel
+
+    out = str(tmp_path_factory.mktemp("hlo_chunk"))
+    tiny_model.export(RuntimeType.STABLEHLO, out_dir=out, image_size=96, batch_size=2)
+    im = InferModel(out, RuntimeType.STABLEHLO)
+    imgs = [np.random.randint(0, 255, (96, 96, 3), np.uint8) for _ in range(5)]
+    res = im(imgs, threshold=0.0)
+    assert len(res) == 5
+    single = im([imgs[0]], threshold=0.0)[0]
+    assert [d.bbox for d in res[0].detections] == [d.bbox for d in single.detections]
