@@ -140,6 +140,15 @@ class ModelManager:
             model_info, weights_dir = cls._from_hub(str(name)[len("hub://") :])
         elif ModelRegistry.exists(str(name)):
             model_info = ModelRegistry.get_model_info(str(name))
+            # local pretrained cache (the download-cache analog,
+            # reference model_manager.py + ~/FocoosAI/models/<name>/):
+            # converted weights dropped by tools/convert_torch_weights.py
+            # under MODELS_DIR/<name>/ load automatically.
+            from focoos_tpu.ports import MODELS_DIR
+
+            cache_dir = os.path.join(MODELS_DIR, str(name))
+            if os.path.isfile(os.path.join(cache_dir, ArtifactName.WEIGHTS.value)):
+                weights_dir = cache_dir
         else:
             raise ValueError(
                 f"'{name}' is neither a registry model, a local dir with model_info.json, nor a hub ref. "
