@@ -9,7 +9,6 @@ import dataclasses
 import json
 import os
 import sys
-from typing import Optional
 
 
 def _parse_im_size(s: str):

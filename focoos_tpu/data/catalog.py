@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 from focoos_tpu.data.datasets import DictDataset
 from focoos_tpu.ports import DATASETS_DIR, DatasetSplitType, Task

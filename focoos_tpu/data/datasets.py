@@ -18,7 +18,7 @@ from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 
-from focoos_tpu.ports import DatasetMetadata, DatasetSplitType, Task
+from focoos_tpu.ports import DatasetMetadata, Task
 from focoos_tpu.utils.logger import get_logger
 
 logger = get_logger(__name__)

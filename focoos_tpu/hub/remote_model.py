@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import List, Optional
+from typing import List
 
 from focoos_tpu.hub.api_client import ApiClient
 from focoos_tpu.ports import ArtifactName, FocoosDetections

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import List, Optional, Tuple, Union
+from typing import List, Optional
 
 import numpy as np
 

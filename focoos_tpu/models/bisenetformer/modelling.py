@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from focoos_tpu.models.bisenetformer.config import BisenetFormerConfig
 from focoos_tpu.models.fai_mf.modelling import MultiScaleMaskedTransformerDecoder
-from focoos_tpu.models.fai_mf.ports import MaskFormerAuxOutputs, MaskFormerModelOutput
+from focoos_tpu.models.fai_mf.ports import MaskFormerModelOutput
 from focoos_tpu.nn.backbone.base import BaseBackbone
 from focoos_tpu.nn.layers.common import bn_use_running, bilinear_resize
 

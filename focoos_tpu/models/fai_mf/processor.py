@@ -17,7 +17,7 @@ from focoos_tpu.models.fai_mf.config import MaskFormerConfig
 from focoos_tpu.models.fai_mf.ports import MaskFormerModelOutput, MaskFormerTargets
 from focoos_tpu.ports import DatasetEntry, FocoosDet, FocoosDetections
 from focoos_tpu.processor.base_processor import Processor
-from focoos_tpu.structures import ImageList, Instances, BitMasks, Boxes
+from focoos_tpu.structures import ImageList, Instances, BitMasks
 from focoos_tpu.utils.vision import mask_to_base64_png
 
 

@@ -18,7 +18,7 @@ they are public building blocks of the layer library. TPU notes per layer:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ with a vectorized bilinear gather — same math as focoos_tpu/ops/deformable.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ static shapes.
 from __future__ import annotations
 
 from enum import IntEnum
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Iterator, List, Sequence, Tuple, Union
 
 import numpy as np
 

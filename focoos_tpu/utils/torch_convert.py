@@ -13,7 +13,7 @@ Works on raw numpy state dicts — torch itself is only needed to *read* a
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Tuple
 
 import numpy as np
 

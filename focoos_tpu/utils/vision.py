@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import base64
 import io
-from typing import List, Optional, Union
+from typing import List, Optional
 
 import numpy as np
 
