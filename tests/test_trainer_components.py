@@ -209,3 +209,49 @@ def test_multi_train_step_matches_iterated_single_steps():
     np.testing.assert_allclose(np.asarray(s1.params["w"]), np.asarray(s2.params["w"]), rtol=1e-6)
     assert int(s2.step) == 4
     assert metrics["l"].shape == ()  # averaged over the K steps
+
+
+def test_ema_update_math():
+    """EMA params follow e*d + p*(1-d) with the warmup-ramped decay."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from focoos_tpu.trainer.solver import ema_decay_schedule
+    from focoos_tpu.trainer.train_step import build_train_step, create_train_state
+
+    def loss_fn(variables, batch, rng):
+        w = variables["params"]["w"]
+        return jnp.sum(w**2), ({}, {"batch_stats": {}})
+
+    tx = optax.sgd(0.1)
+    variables = {"params": {"w": jnp.full((3,), 2.0)}, "batch_stats": {}}
+    decay_fn = ema_decay_schedule(0.9, warmup=0)
+    step = build_train_step(loss_fn, tx, ema_decay_fn=decay_fn, donate=False)
+    s = create_train_state(dict(variables), tx, ema_enabled=True)
+    np.testing.assert_allclose(np.asarray(s.ema_params["w"]), 2.0)
+
+    s1, _ = step(s, None, jax.random.PRNGKey(0))
+    # grad = 2w = 4 -> w1 = 2 - 0.4 = 1.6 ; ema = 2*d + 1.6*(1-d)
+    d = float(decay_fn(jnp.asarray(0)))
+    np.testing.assert_allclose(np.asarray(s1.params["w"]), 1.6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.ema_params["w"]), 2.0 * d + 1.6 * (1 - d), rtol=1e-6)
+
+
+def test_early_stopping_hook_triggers():
+    from focoos_tpu.trainer.events import EventStorage
+    from focoos_tpu.trainer.hooks import EarlyStopException, EarlyStoppingHook
+
+    class FakeTrainer:
+        iter = 0
+        max_iter = 100
+
+    h = EarlyStoppingHook(patience=2, metric="bbox/AP")
+    h.trainer = FakeTrainer()
+    with EventStorage(0) as storage:
+        with pytest.raises(EarlyStopException):
+            for it, val in enumerate([10.0, 10.0, 9.0, 8.0, 7.0]):
+                storage.iter = it
+                FakeTrainer.iter = it
+                storage.put_scalar("bbox/AP", val, smoothing_hint=False)
+                h.after_step()
