@@ -141,3 +141,18 @@ def test_stablehlo_chunked_batches(tiny_model, tmp_path_factory):
     assert len(res) == 5
     single = im([imgs[0]], threshold=0.0)[0]
     assert [d.bbox for d in res[0].detections] == [d.bbox for d in single.detections]
+
+
+def test_load_runtime_dispatch_and_guards():
+    """(reference model: tests/test_runtime.py — dispatch per RuntimeType +
+    guard failures)."""
+    import pytest as _pytest
+
+    from focoos_tpu.infer.runtimes import load_runtime
+
+    with _pytest.raises(AssertionError):
+        load_runtime(RuntimeType.XLA_CPU, output_names=["x"])  # no module/variables
+    with _pytest.raises(AssertionError):
+        load_runtime(RuntimeType.STABLEHLO, output_names=["x"])  # no artifact
+    with _pytest.raises(AssertionError):
+        load_runtime(RuntimeType.XLA_TPU_INT8, output_names=["x"])  # no module+artifact
