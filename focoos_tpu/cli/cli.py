@@ -234,6 +234,11 @@ def main(argv=None):
         "gradio": cmd_gradio,
         "hub": cmd_hub,
     }[ns.cmd](ns)
+    # daemon prefetch threads can make interpreter teardown return nonzero
+    # (exit 120); flush and exit explicitly so scripts see success
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

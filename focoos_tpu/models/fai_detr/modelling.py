@@ -326,7 +326,15 @@ class TransformerPredictor(nn.Module):
         enc_coord_unact = enc_coord_delta.astype(jnp.float32) + anchors  # [B, S, 4]
 
         scores = jnp.max(enc_logits, axis=-1)  # [B, S]
-        _, topk_idx = jax.lax.top_k(scores, self.num_queries)  # [B, Q]
+        # small inputs can have fewer anchor positions than num_queries
+        # (e.g. 96px -> 189 anchors < 300): select what exists, tile the rest
+        # (duplicate queries are harmless — matching assigns each target once)
+        s_total = scores.shape[1]
+        k = min(self.num_queries, s_total)
+        _, topk_idx = jax.lax.top_k(scores, k)  # [B, k]
+        if k < self.num_queries:
+            reps = -(-self.num_queries // k)
+            topk_idx = jnp.tile(topk_idx, (1, reps))[:, : self.num_queries]  # [B, Q]
 
         def gather_q(x):
             return jnp.take_along_axis(x, topk_idx[..., None], axis=1)
