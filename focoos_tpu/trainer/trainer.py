@@ -356,6 +356,12 @@ class FocoosTrainer:
             hooks.append(hooks_mod.BestCheckpointer(checkpointer, primary_metric))
             if args.early_stop:
                 hooks.append(hooks_mod.EarlyStoppingHook(args.patience, primary_metric))
+            # sample-prediction mosaics (reference: trainer.py:536 VisualizationHook)
+            hooks.append(
+                hooks_mod.VisualizationHook(
+                    args.eval_period, lambda: self._render_val_samples(loop, args.samples)
+                )
+            )
         hooks.append(hooks_mod.PeriodicCheckpointerHook(periodic))
         hooks.append(hooks_mod.PeriodicWriter(writers, period=args.log_period))
         loop.register_hooks(hooks)
@@ -377,6 +383,57 @@ class FocoosTrainer:
             self.model.variables = old
             self.model.processor.train(True)
         return results
+
+    def _render_val_samples(self, loop: TrainerLoop, n: int) -> Optional[np.ndarray]:
+        """Annotated-prediction mosaic over the first N val images
+        (reference: hooks/visualization.py:39) — written to
+        ``run_dir/visualizations/`` and stored as an EventStorage image."""
+        if self.val_dataset is None or n <= 0:
+            return None
+        from focoos_tpu.utils.vision import annotate_image
+
+        state = jax.device_get(loop.state)
+        old = self.model.variables
+        self.model.variables = {"params": state.params, "batch_stats": state.batch_stats}
+        self.model.processor.train(False)
+        try:
+            tiles = []
+            for i in range(min(n, len(self.val_dataset))):
+                entry = self.val_dataset[i]
+                img = entry.image if entry.image is not None else None
+                if img is None:
+                    continue
+                dets = self.model.infer(np.asarray(img), threshold=0.3)
+                tiles.append(annotate_image(np.asarray(img), dets, task=self.model.task,
+                                            classes=self.model.classes))
+        except Exception as e:  # visualization must never kill training
+            logger.warning(f"visualization render failed: {e}")
+            return None
+        finally:
+            self.model.variables = old
+            self.model.processor.train(True)
+        if not tiles:
+            return None
+        # square-ish mosaic grid, tiles padded to the max tile size
+        import math
+
+        cols = int(math.ceil(math.sqrt(len(tiles))))
+        rows = int(math.ceil(len(tiles) / cols))
+        th = max(t.shape[0] for t in tiles)
+        tw = max(t.shape[1] for t in tiles)
+        mosaic = np.zeros((rows * th, cols * tw, 3), np.uint8)
+        for k, t in enumerate(tiles):
+            r, c = divmod(k, cols)
+            mosaic[r * th : r * th + t.shape[0], c * tw : c * tw + t.shape[1]] = t
+        vis_dir = os.path.join(self.run_dir, "visualizations")
+        os.makedirs(vis_dir, exist_ok=True)
+        try:
+            import cv2
+
+            cv2.imwrite(os.path.join(vis_dir, f"iter_{loop.iter:07d}.jpg"), mosaic[..., ::-1])
+        except Exception:
+            pass
+        return mosaic
 
     def _final_metrics(self, loop: TrainerLoop) -> Dict[str, float]:
         if self.val_dataset is None:
