@@ -364,6 +364,16 @@ class FocoosTrainer:
             )
         hooks.append(hooks_mod.PeriodicCheckpointerHook(periodic))
         hooks.append(hooks_mod.PeriodicWriter(writers, period=args.log_period))
+        if args.sync_to_hub:
+            # (reference: trainer.py:549 SyncToHubHook — network failures are
+            # swallowed inside the hook so training never dies on the uplink)
+            try:
+                from focoos_tpu.hub.focoos_hub import FocoosHUB
+
+                remote = FocoosHUB().get_remote_model(self.model_info.focoos_model or self.model_info.name)
+                hooks.append(hooks_mod.SyncToHubHook(remote, self.run_dir, period=max(args.log_period, 60)))
+            except Exception as e:
+                logger.warning(f"sync_to_hub requested but hub unavailable: {e}")
         loop.register_hooks(hooks)
 
     def _val(self, loop: TrainerLoop) -> Optional[Dict[str, float]]:
