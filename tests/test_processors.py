@@ -1,0 +1,54 @@
+"""Processor postprocess unit tests with hand-built model outputs
+(reference model: per-family processor tests)."""
+
+import numpy as np
+import pytest
+
+
+def test_detr_postprocess_decode_and_scale():
+    """One dominant query decodes to a scaled, thresholded, rounded box
+    (reference: fai_detr/processor.py:146-217 flat top-k over QxC)."""
+    import jax.numpy as jnp
+
+    from focoos_tpu.models.fai_detr.config import DETRConfig
+    from focoos_tpu.models.fai_detr.ports import DETRModelOutput
+    from focoos_tpu.models.fai_detr.processor import DETRProcessor
+
+    cfg = DETRConfig(num_classes=3, num_queries=4)
+    p = DETRProcessor(cfg, image_size=100)
+    logits = np.full((1, 4, 3), 0.01, np.float32)
+    logits[0, 2, 1] = 0.9  # query 2, class 1
+    boxes = np.zeros((1, 4, 4), np.float32)
+    boxes[0, 2] = [0.1, 0.2, 0.5, 0.6]  # xyxy normalized
+    out = DETRModelOutput(boxes=jnp.asarray(boxes), logits=jnp.asarray(logits))
+    img = np.zeros((200, 400, 3), np.uint8)  # h=200, w=400
+    dets = p.postprocess(out, [img], class_names=["a", "b", "c"], threshold=0.5)[0]
+    assert len(dets.detections) == 1
+    d = dets.detections[0]
+    assert d.cls_id == 1 and d.label == "b"
+    assert d.conf == pytest.approx(0.9, abs=1e-5)
+    assert d.bbox == [40, 40, 200, 120]  # scaled by (w=400, h=200), rounded
+
+    # threshold above the top score -> nothing survives
+    dets2 = p.postprocess(out, [img], class_names=["a", "b", "c"], threshold=0.95)[0]
+    assert len(dets2.detections) == 0
+
+
+def test_cls_postprocess_multilabel_threshold():
+    import jax.numpy as jnp
+
+    from focoos_tpu.models.fai_cls.config import ClassificationConfig
+    from focoos_tpu.models.fai_cls.ports import ClassificationModelOutput
+    from focoos_tpu.models.fai_cls.processor import ClassificationProcessor
+
+    cfg = ClassificationConfig(num_classes=3)
+    p = ClassificationProcessor(cfg, image_size=64)
+    # sigmoid(2.0)=0.88, sigmoid(-2)=0.12
+    logits = np.array([[2.0, -2.0, 2.0]], np.float32)
+    out = ClassificationModelOutput(logits=jnp.asarray(logits))
+    dets = p.postprocess(out, [np.zeros((64, 64, 3), np.uint8)],
+                         class_names=["x", "y", "z"], threshold=0.5)[0]
+    got = sorted((d.cls_id, d.label) for d in dets.detections)
+    assert got == [(0, "x"), (2, "z")]
+    for d in dets.detections:
+        assert d.conf == pytest.approx(1 / (1 + np.exp(-2.0)), abs=1e-4)
