@@ -167,3 +167,24 @@ def test_catalog_registry_lists_builtins():
     # loading without the data on disk raises a clear error, not a crash
     with pytest.raises((FileNotFoundError, ValueError, AssertionError)):
         load_catalog_split(names[0], DatasetSplitType.TRAIN)
+
+
+def test_transform_box_coords_consistency():
+    """Boxes track image geometry through flip and rotation."""
+    from focoos_tpu.data.transforms import HFlipTransform, RotationTransform
+
+    boxes = np.array([[10.0, 20.0, 30.0, 40.0]])
+    t = HFlipTransform(width=100)
+    fb = t.apply_box(boxes)
+    np.testing.assert_allclose(fb, [[70, 20, 90, 40]])
+
+    # 90-degree rotation with expansion maps a box exactly
+    r = RotationTransform(h=50, w=100, angle=90, expand=True)
+    rb = r.apply_box(np.array([[0.0, 0.0, 10.0, 10.0]]))[0]
+    img = np.zeros((50, 100, 3), np.uint8)
+    img[0:10, 0:10] = 255
+    rimg = r.apply_image(img)
+    ys, xs = np.nonzero(rimg[..., 0])
+    # rotated white square must sit inside the transformed box (±1 px)
+    assert xs.min() >= rb[0] - 1 and xs.max() <= rb[2] + 1
+    assert ys.min() >= rb[1] - 1 and ys.max() <= rb[3] + 1
