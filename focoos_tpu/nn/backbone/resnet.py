@@ -38,6 +38,11 @@ class ResnetConfig(BackboneConfig):
     freeze_norm: bool = True
     act: str = "relu"
     pretrained: bool = False
+    # execute the stem's stride-2 conv as space-to-depth + 2x2 conv — the
+    # classic TPU stem optimization (3 input channels use 3 of 128 MXU lanes;
+    # s2d packs 2x2 blocks into 12 channels and quarters the spatial extent).
+    # Same parameters, exact to fp rounding; see _S2DConv3x3s2.
+    space_to_depth: bool = False
     # jax.checkpoint each residual block: activations are recomputed in the
     # backward pass instead of stored — trades ~30% extra FLOPs for a large
     # activation-memory cut, enabling bigger per-chip batches (HBM is the
@@ -126,7 +131,7 @@ class ResNet(BaseBackbone):
 
         # stem: deep 3x3 stack for variants c/d, single 7x7 otherwise
         if cfg.variant in ("c", "d"):
-            x = ConvNorm(32, 3, 2, act=cfg.act, norm=norm, dtype=dtype, name="conv1_1")(x, train)
+            x = ConvNorm(32, 3, 2, act=cfg.act, norm=norm, s2d=cfg.space_to_depth, dtype=dtype, name="conv1_1")(x, train)
             x = ConvNorm(32, 3, 1, act=cfg.act, norm=norm, dtype=dtype, name="conv1_2")(x, train)
             x = ConvNorm(64, 3, 1, act=cfg.act, norm=norm, dtype=dtype, name="conv1_3")(x, train)
         else:

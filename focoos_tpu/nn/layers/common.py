@@ -114,23 +114,30 @@ class ConvNorm(nn.Module):
     act: Optional[str] = None
     groups: int = 1
     dilation: int = 1
+    # execute a 3x3/s2 conv as space-to-depth + 2x2 conv (same params/paths,
+    # exact to fp rounding) — see _S2DConv3x3s2 below. Only valid for
+    # kernel_size=3, stride=2, no bias/groups/dilation.
+    s2d: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.kernel_size
         pad = (k - 1) // 2 * self.dilation if self.padding is None else self.padding
-        x = nn.Conv(
-            features=self.ch_out,
-            kernel_size=(k, k),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            use_bias=self.bias,
-            feature_group_count=self.groups,
-            kernel_dilation=(self.dilation, self.dilation),
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.s2d and k == 3 and self.stride == 2 and not self.bias and self.groups == 1:
+            x = _S2DConv3x3s2(self.ch_out, dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                features=self.ch_out,
+                kernel_size=(k, k),
+                strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                use_bias=self.bias,
+                feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         norm = get_norm(self.norm, dtype=self.dtype)
         if norm is not None:
             if isinstance(norm, BatchNorm):
@@ -375,3 +382,45 @@ class FFNBlock(nn.Module):
         if self.normalize_before:
             return tgt + ffn(norm(tgt))
         return norm(tgt + ffn(tgt))
+
+
+class _S2DConv3x3s2(nn.Module):
+    """conv 3x3 stride-2 pad-1 executed as space-to-depth(2) + conv 2x2.
+
+    Classic TPU stem optimization (MLPerf ResNet): the raw 3-channel conv at
+    full resolution runs at ~1% MXU utilization (3 of 128 input lanes used);
+    s2d packs 2x2 pixel blocks into channels (3→12) and quarters the spatial
+    extent. The parameter keeps the torch-compatible [3, 3, C, F] shape/name
+    (``kernel``) — the 2x2 phase kernel is a zero-padded gather of it, so
+    checkpoints and converters are unaffected. Exact to fp rounding.
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        b, h, w, c = x.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features))
+        # pad to even H/W (conv3x3/s2/p1 on odd sizes covers the same taps)
+        ph, pw = h % 2, w % 2
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            h, w = h + ph, w + pw
+        z = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+        # k2[di, dj, (py, px, c), f] = kernel[2di+py-1, 2dj+px-1, c, f] (0 outside)
+        kf = k.astype(z.dtype)
+        k2 = jnp.zeros((2, 2, 2, 2, c, self.features), z.dtype)
+        for di in range(2):
+            for dj in range(2):
+                for py in range(2):
+                    for px in range(2):
+                        u, v = 2 * di + py - 1, 2 * dj + px - 1
+                        if 0 <= u <= 2 and 0 <= v <= 2:
+                            k2 = k2.at[di, dj, py, px].set(kf[u, v])
+        k2 = k2.reshape(2, 2, 4 * c, self.features)
+        dn = jax.lax.conv_dimension_numbers(z.shape, k2.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(z, k2, (1, 1), ((1, 0), (1, 0)), dimension_numbers=dn)

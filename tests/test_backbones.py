@@ -83,3 +83,22 @@ def test_swin_remat_forward_identical():
     o1 = m1.apply(v, x)["res5"]
     # remat changes XLA fusion boundaries -> reassociation noise only
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+
+
+def test_resnet_space_to_depth_exact():
+    """s2d stem reformulation: same params, outputs equal to fp rounding,
+    odd sizes included."""
+    from focoos_tpu.nn.backbone.resnet import ResNet, ResnetConfig
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    m0 = ResNet(config=ResnetConfig(depth=18, space_to_depth=False))
+    m1 = ResNet(config=ResnetConfig(depth=18, space_to_depth=True))
+    v = m0.init(jax.random.PRNGKey(1), x)
+    o0 = m0.apply(v, x)
+    o1 = m1.apply(v, x)
+    for k in o0:
+        np.testing.assert_allclose(np.asarray(o0[k]), np.asarray(o1[k]), atol=2e-4)
+    xo = jax.random.normal(jax.random.PRNGKey(2), (1, 63, 63, 3))
+    vo = m0.init(jax.random.PRNGKey(1), xo)
+    np.testing.assert_allclose(np.asarray(m0.apply(vo, xo)["res5"]),
+                               np.asarray(m1.apply(vo, xo)["res5"]), atol=2e-4)
