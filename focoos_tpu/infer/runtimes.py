@@ -34,23 +34,79 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _chained_device_benchmark(fwd: Callable, x: np.ndarray, iterations: int,
+                              engine: str, im_size: int) -> LatencyMetrics:
+    """Chained ``lax.scan`` of forwards with a data dependency between
+    iterations, one scalar fetch per trial — the only timing method that
+    survives remote device tunnels (per-call ``block_until_ready`` returns
+    before device completion and adds host RTT to every sample; same method
+    as FocoosModel.benchmark, ADVICE r1 low)."""
+    import jax
+    import jax.numpy as jnp
+
+    chain = max(1, iterations // 5)
+
+    @jax.jit
+    def run(img):
+        def body(im, _):
+            out = fwd(im)
+            leaf = jax.tree.leaves(out)[0]
+            return im + (jnp.mean(leaf.astype(jnp.float32)) * 1e-24).astype(im.dtype), None
+
+        final, _ = jax.lax.scan(body, img, None, length=chain)
+        return jnp.mean(final.astype(jnp.float32))
+
+    xs = jnp.asarray(x)
+    float(run(xs))  # compile + warm
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(run(xs))  # scalar fetch forces completion
+        times.append((time.perf_counter() - t0) * 1000 / chain)
+    arr = np.array(times)
+    dev = jax.local_devices()[0]
+    return LatencyMetrics(
+        fps=int(round(1000 / arr.mean())),
+        engine=engine,
+        min=round(float(arr.min()), 3),
+        max=round(float(arr.max()), 3),
+        mean=round(float(arr.mean()), 3),
+        std=round(float(arr.std()), 3),
+        im_size=im_size,
+        device=str(dev.device_kind),
+    )
+
+
 class BaseRuntime:
     """(reference: infer/runtimes/base.py:10)"""
 
     def __call__(self, images: np.ndarray) -> List[np.ndarray]:
         raise NotImplementedError
 
+    def _traced_forward(self) -> Optional[Callable]:
+        """A jit-traceable ``f(images) -> pytree`` for device-timed
+        benchmarking, or None to fall back to host wall timing."""
+        return None
+
+    def _benchmark_input(self, size: int) -> np.ndarray:
+        return np.random.randint(0, 255, (1, size, size, 3), np.uint8)
+
     def benchmark(self, iterations: int = 50, size: int = 640) -> LatencyMetrics:
         import jax
 
-        x = np.random.randint(0, 255, (1, size, size, 3), np.uint8)
+        x = self._benchmark_input(size)
+        fwd = self._traced_forward()
+        if fwd is not None:
+            try:
+                return _chained_device_benchmark(fwd, x, iterations, type(self).__name__, size)
+            except Exception as e:  # e.g. platform mismatch in an exported artifact
+                logger.warning(f"device-timed benchmark failed ({e}); falling back to wall timing")
         for _ in range(3):
             self(x)
         times = []
         for _ in range(iterations):
             t0 = time.perf_counter()
-            out = self(x)
-            jax.block_until_ready(out) if not isinstance(out, list) else None
+            self(x)  # __call__ copies outputs to host, which forces completion
             times.append((time.perf_counter() - t0) * 1000)
         arr = np.array(times)
         dev = jax.local_devices()[0]
@@ -133,6 +189,10 @@ class XLARuntime(BaseRuntime):
         out = jax.block_until_ready(self._fn(tuple(x.shape))(self.variables, x))
         return [np.asarray(getattr(out, name))[:n] for name in self.output_names]
 
+    def _traced_forward(self):
+        module, variables = self.module, self.variables
+        return lambda images: module.apply(variables, images, train=False)[0]
+
 
 class Int8XLARuntime(BaseRuntime):
     """Weight-only INT8 serving (analog of the reference's ONNX INT8 runtime,
@@ -185,6 +245,25 @@ class Int8XLARuntime(BaseRuntime):
         out = jax.block_until_ready(self._fn(tuple(x.shape))(self._store, x))
         return [np.asarray(getattr(out, n)) for n in self.output_names]
 
+    def _traced_forward(self):
+        import jax.numpy as jnp
+
+        from focoos_tpu.utils.checkpoint import unflatten_tree
+
+        module, store = self.module, self._store
+
+        def fwd(images):
+            flat = {}
+            for k, v in store.items():
+                if k.endswith("@q"):
+                    flat[k[:-2]] = v.astype(jnp.float32) * store[k[:-2] + "@scale"]
+                elif not k.endswith("@scale"):
+                    flat[k] = v
+            variables = unflatten_tree(flat)
+            return module.apply(variables, images, train=False)[0]
+
+        return fwd
+
 
 class StableHLORuntime(BaseRuntime):
     """Executes a serialized jax.export artifact (the exchange format —
@@ -225,6 +304,18 @@ class StableHLORuntime(BaseRuntime):
                 part = np.concatenate([part, np.repeat(part[-1:], b - part.shape[0], axis=0)])
             chunks.append(self._call_fixed(part))
         return [np.concatenate([c[k] for c in chunks])[:n] for k in range(len(chunks[0]))]
+
+    def _traced_forward(self):
+        return self._exported.call
+
+    def _benchmark_input(self, size: int) -> np.ndarray:
+        # the exported program has fixed input avals — benchmark at its shape
+        try:
+            aval = self._exported.in_avals[0]
+            shape = tuple(int(d) for d in aval.shape)
+            return (np.random.rand(*shape) * 255).astype(aval.dtype)
+        except Exception:
+            return super()._benchmark_input(size)
 
 
 def load_runtime(

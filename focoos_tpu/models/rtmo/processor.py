@@ -29,7 +29,15 @@ class RTMOProcessor(Processor):
             return self.preprocess_entries(inputs)
         if self.training:
             raise ValueError("training preprocess expects a list of DatasetEntry")
-        return self.get_batch(inputs, self._target_size()), None
+        batch = self.get_batch(inputs, self._target_size())
+        if self._target_size() is None:
+            # pad the raw batch up to 32-divisible so the Focus (space-to-depth)
+            # stem and stride-8/16/32 head split evenly
+            _, h, w, _ = batch.shape
+            ph, pw = (-h) % 32, (-w) % 32
+            if ph or pw:
+                batch = np.pad(batch, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        return batch, None
 
     def preprocess_entries(self, entries: List[DatasetEntry], max_instances: int = 50):
         import jax.numpy as jnp
@@ -75,18 +83,23 @@ class RTMOProcessor(Processor):
 
     # ------------------------------------------------------------------
     def _scaled_arrays(self, output: RTMOModelOutput, input_hw, image_sizes):
+        """input_hw=None means the batch was padded, not resized (get_batch with
+        no target size): pad regions carry no content so model coordinates are
+        already in each image's original pixel frame — no scaling (ADVICE r1:
+        scaling by w_i/w_0 here produced wrong coords for mixed-size batches)."""
         scores = np.asarray(output.scores)
         labels = np.asarray(output.labels)
         boxes = np.asarray(output.boxes).copy()
         kpts = np.asarray(output.keypoints).copy()
         kvis = np.asarray(output.keypoints_scores)
-        ih, iw = input_hw
-        for i, (h, w) in enumerate(image_sizes):
-            sx, sy = w / iw, h / ih
-            boxes[i, :, 0::2] *= sx
-            boxes[i, :, 1::2] *= sy
-            kpts[i, ..., 0] *= sx
-            kpts[i, ..., 1] *= sy
+        if input_hw is not None:
+            ih, iw = input_hw
+            for i, (h, w) in enumerate(image_sizes):
+                sx, sy = w / iw, h / ih
+                boxes[i, :, 0::2] *= sx
+                boxes[i, :, 1::2] *= sy
+                kpts[i, ..., 0] *= sx
+                kpts[i, ..., 1] *= sy
         return scores, labels, boxes, kpts, kvis
 
     def postprocess(
@@ -99,8 +112,7 @@ class RTMOProcessor(Processor):
     ) -> List[FocoosDetections]:
         threshold = self.threshold if threshold is None else threshold
         image_sizes = self.get_image_sizes(inputs)
-        ts = self._target_size() or image_sizes[0]
-        scores, labels, boxes, kpts, kvis = self._scaled_arrays(output, ts, image_sizes)
+        scores, labels, boxes, kpts, kvis = self._scaled_arrays(output, self._target_size(), image_sizes)
 
         results = []
         for i in range(scores.shape[0]):
@@ -125,10 +137,26 @@ class RTMOProcessor(Processor):
 
     def eval_postprocess(self, output: RTMOModelOutput, batched_inputs: List[DatasetEntry], **kw):
         image_sizes = [(e.height or 1, e.width or 1) for e in batched_inputs]
-        ts = self._target_size() or (
-            batched_inputs[0].image.shape[:2] if batched_inputs[0].image is not None else image_sizes[0]
-        )
-        scores, labels, boxes, kpts, kvis = self._scaled_arrays(output, ts, image_sizes)
+        ts = self._target_size()
+        scores = np.asarray(output.scores)
+        labels = np.asarray(output.labels)
+        boxes = np.asarray(output.boxes).copy()
+        kpts = np.asarray(output.keypoints).copy()
+        kvis = np.asarray(output.keypoints_scores)
+        # per-image input frame: the configured square size, else each entry's
+        # own (augmented) image shape — batch padding keeps per-image frames
+        for i, (e, (h, w)) in enumerate(zip(batched_inputs, image_sizes)):
+            if ts is not None:
+                fh, fw = ts
+            elif e.image is not None:
+                fh, fw = e.image.shape[:2]
+            else:
+                fh, fw = h, w
+            sx, sy = w / fw, h / fh
+            boxes[i, :, 0::2] *= sx
+            boxes[i, :, 1::2] *= sy
+            kpts[i, ..., 0] *= sx
+            kpts[i, ..., 1] *= sy
         results = []
         for i, (h, w) in enumerate(image_sizes):
             keep = scores[i] > 0

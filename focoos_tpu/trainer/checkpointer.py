@@ -106,8 +106,12 @@ class PeriodicCheckpointerMixin:
         self.max_to_keep = max_to_keep
         self._recent: List[str] = []
 
-    def step(self, iteration: int, state: Any, **extra: Any) -> None:
-        if (iteration + 1) % self.period == 0:
+    def step(self, iteration: int, state: Any, stride: int = 1, **extra: Any) -> None:
+        # fire when any multiple of ``period`` falls in (iteration, iteration+stride]
+        # — with multi-step dispatch (steps_per_call=K) the loop advances K
+        # optimizer iterations per host call, so strict modulo checks can skip
+        # the boundary (ADVICE r1 medium).
+        if self.period > 0 and (iteration + stride) // self.period > iteration // self.period:
             name = f"model_{iteration:07d}"
             self.checkpointer.save(name, state, iteration=iteration, **extra)
             self._recent.append(name)
@@ -119,5 +123,5 @@ class PeriodicCheckpointerMixin:
                     extra_f = path + ".extra.npz"
                     if os.path.isfile(extra_f):
                         os.remove(extra_f)
-        if iteration >= self.max_iter - 1:
+        if iteration + stride >= self.max_iter:
             self.checkpointer.save("model_final", state, iteration=iteration, **extra)

@@ -201,8 +201,9 @@ class SemSegEvaluator(DatasetEvaluator):
         # rows = gt, cols = pred (ignore-label row/col dropped)
         tp = np.diag(conf)
         pos_gt = conf.sum(1)
-        pos_pred = self._conf[: self.num_classes].sum(0)[: self.num_classes] + self._conf[self.num_classes, : self.num_classes]
-        pos_pred = self._conf[:, : self.num_classes].sum(0).astype(np.float64)
+        # union over non-ignore gt rows only (reference sem_seg_evaluation.py:135-140
+        # sums conf_matrix[:-1, :-1]); including the ignore-gt row deflates mIoU.
+        pos_pred = conf.sum(0)
         union = pos_gt + pos_pred - tp
         valid = pos_gt > 0
         iou = np.where(union > 0, tp / np.maximum(union, 1e-9), 0.0)

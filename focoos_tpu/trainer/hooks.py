@@ -26,6 +26,27 @@ class EarlyStopException(Exception):
     """Raised to abort the training loop (reference: hooks/early_stop.py:5)."""
 
 
+def _period_hit(trainer, period: int) -> bool:
+    """True when any completed iteration of this host call lands on the period
+    boundary: some multiple of ``period`` lies in (iter, iter + steps_per_call].
+
+    With multi-step dispatch (steps_per_call=K>1) the loop advances K optimizer
+    iterations per host call; a strict ``(iter+1) % period`` check fires late or
+    never for periods not aligned to K (ADVICE r1 medium). For K=1 this reduces
+    exactly to ``(iter+1) % period == 0``.
+    """
+    if period <= 0:
+        return False
+    k = max(1, int(getattr(trainer, "steps_per_call", 1)))
+    return (trainer.iter + k) // period > trainer.iter // period
+
+
+def _is_final_call(trainer) -> bool:
+    """True when this host call completes the last training iteration."""
+    k = max(1, int(getattr(trainer, "steps_per_call", 1)))
+    return trainer.iter + k >= trainer.max_iter
+
+
 class HookBase:
     trainer = None  # set by TrainerLoop.register_hooks
 
@@ -190,7 +211,7 @@ class PeriodicWriter(HookBase):
 
     def after_step(self):
         t = self.trainer
-        if (t.iter + 1) % self._period == 0 or t.iter == t.max_iter - 1:
+        if _period_hit(t, self._period) or _is_final_call(t):
             for w in self._writers:
                 w.write()
 
@@ -221,7 +242,9 @@ class PeriodicCheckpointerHook(HookBase):
         self._pc = periodic_checkpointer
 
     def after_step(self):
-        self._pc.step(self.trainer.iter, self.trainer.state, hooks=self.trainer.hook_state_dict())
+        stride = max(1, int(getattr(self.trainer, "steps_per_call", 1)))
+        self._pc.step(self.trainer.iter, self.trainer.state, stride=stride,
+                      hooks=self.trainer.hook_state_dict())
 
 
 class BestCheckpointer(HookBase):
@@ -281,7 +304,7 @@ class EvalHook(HookBase):
 
     def after_step(self):
         t = self.trainer
-        if self._period > 0 and (t.iter + 1) % self._period == 0 and t.iter < t.max_iter - 1:
+        if _period_hit(t, self._period) and not _is_final_call(t):
             self._do_eval()
 
     def after_train(self):
@@ -364,7 +387,7 @@ class MemoryStatsHook(HookBase):
     def after_step(self):
         import jax
 
-        if (self.trainer.iter + 1) % self._period:
+        if not _period_hit(self.trainer, self._period):
             return
         dev = jax.local_devices()[0]
         stats = getattr(dev, "memory_stats", lambda: None)()
@@ -384,7 +407,7 @@ class VisualizationHook(HookBase):
         self._name = name
 
     def after_step(self):
-        if self._period <= 0 or (self.trainer.iter + 1) % self._period:
+        if not _period_hit(self.trainer, self._period):
             return
         img = self._render()
         if img is not None:
@@ -400,7 +423,7 @@ class SyncToHubHook(HookBase):
         self._period = period
 
     def after_step(self):
-        if (self.trainer.iter + 1) % self._period:
+        if not _period_hit(self.trainer, self._period):
             return
         try:
             self._remote.sync_local_training_job(self._run_dir, iteration=self.trainer.iter)

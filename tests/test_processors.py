@@ -52,3 +52,44 @@ def test_cls_postprocess_multilabel_threshold():
     assert got == [(0, "x"), (2, "z")]
     for d in dets.detections:
         assert d.conf == pytest.approx(1 / (1 + np.exp(-2.0)), abs=1e-4)
+
+
+def test_rtmo_postprocess_mixed_size_padded_batch_keeps_coords():
+    """With no configured image_size, get_batch pads (never resizes) mixed-size
+    batches, so model coordinates are already in each image's own pixel frame —
+    postprocess must not rescale them (ADVICE r1: image 2+ got scaled by
+    w_i/w_0)."""
+    import jax.numpy as jnp
+
+    from focoos_tpu.models.rtmo.config import RTMOConfig
+    from focoos_tpu.models.rtmo.ports import RTMOModelOutput
+    from focoos_tpu.models.rtmo.processor import RTMOProcessor
+    from focoos_tpu.nn.backbone.csp_darknet import CSPConfig
+
+    cfg = RTMOConfig(num_classes=1, num_keypoints=2, backbone_config=CSPConfig())
+    p = RTMOProcessor(cfg, image_size=None)
+
+    B, D, K = 2, 3, 2
+    scores = np.zeros((B, D), np.float32)
+    scores[:, 0] = 0.9
+    boxes = np.zeros((B, D, 4), np.float32)
+    boxes[0, 0] = [10, 20, 30, 40]
+    boxes[1, 0] = [50, 60, 70, 80]
+    kpts = np.zeros((B, D, K, 2), np.float32)
+    kpts[1, 0, 0] = [55, 65]
+    out = RTMOModelOutput(
+        scores=jnp.asarray(scores), labels=jnp.zeros((B, D), jnp.int32),
+        boxes=jnp.asarray(boxes), boxes_scores=jnp.asarray(scores),
+        keypoints=jnp.asarray(kpts), keypoints_scores=jnp.asarray(scores)[..., None].repeat(K, -1),
+        keypoints_visible=jnp.ones((B, D, K)),
+    )
+    imgs = [np.zeros((128, 96, 3), np.uint8), np.zeros((64, 256, 3), np.uint8)]
+    dets = p.postprocess(out, imgs, threshold=0.5)
+    assert dets[0].detections[0].bbox == [10, 20, 30, 40]
+    assert dets[1].detections[0].bbox == [50, 60, 70, 80]  # must NOT be rescaled
+    x, y, v = dets[1].detections[0].keypoints[0]
+    assert (x, y) == (55, 65)
+
+    # inference preprocess pads raw batches to 32-divisible for the Focus stem
+    batch, _ = p.preprocess(imgs)
+    assert batch.shape[1] % 32 == 0 and batch.shape[2] % 32 == 0

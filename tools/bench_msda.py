@@ -1,64 +1,66 @@
-"""Benchmark multi-scale deformable attention variants on TPU at RT-DETR-L
-shapes (B=1, Lq=300, 8 heads, 3 levels [80²,40²,20²], P=4, D=32)."""
+"""Benchmark MSDA formulations on the real chip at fai-detr-l shapes.
 
-import os
+Chained-scan device timing (wall clock is RTT-dominated over the tunnel).
+Usage: python tools/bench_msda.py [batch] [dtype]
+"""
+
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def chain(fn, args, iters=48, trials=3):
-    import jax
-    import jax.numpy as jnp
-
+def bench(fn, args, chain=200):
     @jax.jit
-    def run(*a):
+    def run(a):
+        # chain: perturb loc by epsilon*mean(out) so iterations can't overlap
         def body(carry, _):
-            out = fn(*a[:-1], carry)
-            bump = (jnp.sum(out) * 1e-24).astype(carry.dtype)
-            return carry + bump, None
+            loc, aw = carry
+            out = fn(args[0], args[1], loc, aw)
+            eps = (jnp.mean(out.astype(jnp.float32)) * 1e-24).astype(loc.dtype)
+            return (loc + eps, aw), None
+        (loc, aw), _ = jax.lax.scan(body, (a[2], a[3]), None, length=chain)
+        return jnp.mean(loc.astype(jnp.float32))
 
-        final, _ = jax.lax.scan(body, a[-1], None, length=iters)
-        return jnp.sum(final)
-
-    float(run(*args))
-    best = 1e9
-    for _ in range(trials):
+    float(run(args))  # compile
+    ts = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        float(run(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters * 1e3
+        float(run(args))
+        ts.append((time.perf_counter() - t0) * 1000 / chain)
+    return float(np.mean(ts)), float(np.min(ts))
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    dt = jnp.bfloat16 if (len(sys.argv) > 2 and sys.argv[2] == "bf16") else jnp.float32
+    from focoos_tpu.ops.deformable import ms_deform_attn, ms_deform_attn_separable
+    from focoos_tpu.ops.pallas.msda import msda_pallas
 
-    from focoos_tpu.ops.deformable import ms_deform_attn, ms_deform_attn_matmul, ms_deform_attn_separable
-
-    b, lq, hh, d, p = 1, 300, 8, 32, 4
-    shapes = [(80, 80), (40, 40), (20, 20)]
-    s = sum(h * w for h, w in shapes)
+    shapes = ((80, 80), (40, 40), (20, 20))
+    S = sum(h * w for h, w in shapes)
+    Hh, D, Lq, P = 8, 32, 300, 4
     rng = np.random.default_rng(0)
-    value = jnp.asarray(rng.normal(size=(b, s, hh, d)).astype(np.float32), jnp.bfloat16)
-    loc = jnp.asarray(rng.uniform(0, 1, (b, lq, hh, 3, p, 2)).astype(np.float32), jnp.bfloat16)
-    w = jnp.asarray(rng.uniform(0, 1, (b, lq, hh, 3, p)).astype(np.float32), jnp.bfloat16)
+    value = jnp.asarray(rng.normal(size=(b, S, Hh, D)), dt)
+    loc = jnp.asarray(rng.uniform(0, 1, size=(b, Lq, Hh, 3, P, 2)), dt)
+    aw = jax.nn.softmax(jnp.asarray(rng.normal(size=(b, Lq, Hh, 3 * P)), jnp.float32), -1)
+    aw = aw.reshape(b, Lq, Hh, 3, P).astype(dt)
 
-    t_gather = chain(lambda v, l, att: ms_deform_attn(v, shapes, l, att), (value, loc, w), iters=48)
-    t_matmul = chain(lambda v, l, att: ms_deform_attn_matmul(v, shapes, l, att), (value, loc, w), iters=48)
-    t_sep = chain(lambda v, l, att: ms_deform_attn_separable(v, shapes, l, att), (value, loc, w), iters=48)
-    print(f"gather variant:    {t_gather:.3f} ms")
-    print(f"matmul variant:    {t_matmul:.3f} ms")
-    print(f"separable variant: {t_sep:.3f} ms")
-    # correctness cross-check
-    o1 = ms_deform_attn(value.astype(jnp.float32), shapes, loc.astype(jnp.float32), w.astype(jnp.float32))
-    o2 = ms_deform_attn_matmul(value.astype(jnp.float32), shapes, loc.astype(jnp.float32), w.astype(jnp.float32))
-    o3 = ms_deform_attn_separable(value.astype(jnp.float32), shapes, loc.astype(jnp.float32), w.astype(jnp.float32))
-    print("max diff matmul:", float(jnp.max(jnp.abs(o1 - o2))))
-    print("max diff separable:", float(jnp.max(jnp.abs(o1 - o3))))
+    print(f"device={jax.devices()[0].device_kind} batch={b} dtype={dt.__name__}")
+    for name, fn in [
+        ("separable(XLA)", ms_deform_attn_separable),
+        ("pallas-fused", lambda v, s, l, a: msda_pallas(v, s, l, a)),
+        ("gather(XLA)", ms_deform_attn),
+    ]:
+        try:
+            mean, best = bench(fn, (value, shapes, loc, aw))
+            print(f"{name:16s} {mean:8.3f} ms/call (best {best:.3f})")
+        except Exception as e:
+            print(f"{name:16s} FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
 if __name__ == "__main__":
