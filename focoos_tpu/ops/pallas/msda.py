@@ -73,13 +73,16 @@ def _msda_level_kernel(locx_ref, locy_ref, aw_ref, v_ref, o_ref, *, h: int, w: i
     xw0, xw1, xi0, xi1 = corner_weights(x0, tx, w)
     wxd = (iwd_x == xi0).astype(f32) * xw0 + (iwd_x == xi1).astype(f32) * xw1
 
-    # fold (x, d) → d: R[c, j] = 1 iff c % D == j
+    # fold (x, d) → d: R[c, j] = 1 iff c % D == j. bf16 operands — an f32
+    # matmul runs the MXU at a fraction of peak; the product of two bilinear
+    # weights and a bf16 value fits comfortably in bf16 before f32 accumulation.
+    cdt = v.dtype
     fold = (
         jax.lax.broadcasted_iota(jnp.int32, (w * d, d), 0) % d
         == jax.lax.broadcasted_iota(jnp.int32, (w * d, d), 1)
-    ).astype(f32)
+    ).astype(cdt)
     res = jax.lax.dot_general(
-        tmp * wxd, fold, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        (tmp * wxd).astype(cdt), fold, (((1,), (0,)), ((), ())), preferred_element_type=f32
     )  # [QP, D]
     o_ref[0, 0] = res.astype(o_ref.dtype)
 

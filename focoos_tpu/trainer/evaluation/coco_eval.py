@@ -110,17 +110,17 @@ class CocoStyleEvaluator:
         gt_kpts: Optional[np.ndarray] = None,
     ) -> None:
         gt_crowd = gt_crowd if gt_crowd is not None else np.zeros(len(gt_classes), bool)
-        # cap detections per image (maxDets)
-        if len(dt_scores) > MAX_DETS:
-            keep = np.argsort(-dt_scores)[:MAX_DETS]
-            dt_classes = dt_classes[keep]
-            dt_scores = dt_scores[keep]
-            dt_boxes = dt_boxes[keep] if dt_boxes is not None else None
-            dt_masks = [dt_masks[i] for i in keep] if dt_masks is not None else None
-            dt_kpts = dt_kpts[keep] if dt_kpts is not None else None
         for c in np.unique(np.concatenate([dt_classes, gt_classes])).astype(int):
             dsel = dt_classes == c
             gsel = gt_classes == c
+            # maxDets caps per (image, category) AFTER the score sort — the
+            # pycocotools convention (COCOeval.evaluateImg slices dt[:maxDet]
+            # per img+cat), NOT top-100 per image across categories.
+            if int(dsel.sum()) > MAX_DETS:
+                didx = np.flatnonzero(dsel)
+                keep_local = np.argsort(-dt_scores[didx], kind="stable")[:MAX_DETS]
+                dsel = np.zeros_like(dsel)
+                dsel[didx[keep_local]] = True
             if self.iou_fn == "bbox":
                 iou = bbox_iou_matrix(dt_boxes[dsel], gt_boxes[gsel], gt_crowd[gsel])
             elif self.iou_fn == "mask":

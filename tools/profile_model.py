@@ -81,6 +81,14 @@ def main():
     for op, us in dur.most_common(15):
         ln = meta.get(op, {}).get("long_name", "")[:120]
         print(f"  {us / n_calls / 1e3:7.2f} ms  {op:14s} {ln}")
+    # per-category top ops: where the non-matmul time actually goes
+    for cat in [c for c, _ in by_cat.most_common(4)]:
+        print(f"-- top ops in '{cat}' --")
+        ops = [(op, us) for op, us in dur.most_common()
+               if meta.get(op, {}).get("hlo_category", "?") == cat]
+        for op, us in ops[:8]:
+            ln = meta.get(op, {}).get("long_name", "")[:150]
+            print(f"  {us / n_calls / 1e3:7.2f} ms  {op:14s} {ln}")
     return 0
 
 
