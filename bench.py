@@ -1,10 +1,12 @@
-"""Driver benchmark: fai-detr-l-coco 640×640 batched throughput on one TPU chip.
+"""Driver benchmark: all five BASELINE.json workloads on one TPU chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N, ...}
-
-Baseline = reference TensorRT-FP16 on NVIDIA T4 @640: 87 FPS
-(BASELINE.md / docs/models/index.md:26).
+Prints ONE JSON line whose headline value is the fai-detr-l-coco 640×640
+throughput (vs the reference TensorRT-FP16 T4 baseline, 87 FPS —
+BASELINE.md / docs/models/index.md:26); the other four workloads are under
+"workloads": classification (fai-cls-m @224), semantic segmentation
+(bisenetformer-l-ade @640, per-pixel argmax on-device), instance
+segmentation (fai-mf-l-coco-ins @640, mask-query einsum on-device), and the
+fai-detr fine-tune train step (fwd+bwd+AdamW+Hungarian matching, b16 @640).
 
 Measurement method: the device tunnel in this environment has ~27 ms RTT and
 ``block_until_ready`` does not reliably block, so per-call host timing is
@@ -22,28 +24,113 @@ import time
 
 import numpy as np
 
-BASELINE_FPS = 87.0  # fai-detr-l TRT-FP16 T4 @640
+BASELINE_FPS_DETR_L = 87.0  # fai-detr-l TRT-FP16 T4 @640
+BASELINE_FPS_MF_L_INS = 55.0  # fai-mf-l-coco-ins TRT T4 @640 (docs/models/index.md:40)
+BASELINE_FPS_MF_L_ADE = 73.0  # closest published semseg FPS (fai-mf-l-ade; bisenetformer has none)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_chained_bench(module, variables, batch, iters):
+def _timed(run, x, iters, trials=3):
+    float(run(x))  # compile + warm
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(run(x))  # scalar fetch forces full completion
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / iters
+
+
+def make_chained_fwd(module, variables, iters, postproc=None):
     import jax
     import jax.numpy as jnp
 
     def body(img, _):
         out, _aux = module.apply(variables, img, train=False)
-        bump = (jnp.mean(out.logits).astype(img.dtype) * 1e-24).astype(img.dtype)
+        leaf = postproc(out) if postproc is not None else jax.tree.leaves(out)[0]
+        bump = (jnp.mean(leaf.astype(jnp.float32)) * 1e-24).astype(img.dtype)
         return img + bump, None
 
     @jax.jit
     def run(img):
         final, _ = jax.lax.scan(body, img, None, length=iters)
-        return jnp.mean(final)
+        return jnp.mean(final.astype(jnp.float32))
 
     return run
+
+
+def bench_forward(name, size, batches, iters, dtype, postproc=None, overrides=None):
+    import jax.numpy as jnp
+
+    from focoos_tpu.model_manager import ModelManager
+
+    model = ModelManager.get(name, dtype=dtype, **(overrides or {}))
+    out = {}
+    for bs in batches:
+        x = jnp.asarray(np.random.rand(bs, size, size, 3).astype(np.float32) * 255.0)
+        run = make_chained_fwd(model.module, model.variables, iters, postproc)
+        try:
+            per_fwd = _timed(run, x, iters)
+        except Exception as e:
+            log(f"{name} b{bs}: {type(e).__name__}: {str(e)[:160]}")
+            continue
+        out[f"b{bs}_ms"] = round(per_fwd * 1000, 3)
+        out[f"b{bs}_ips"] = round(bs / per_fwd, 2)
+        log(f"{name} @{size} b{bs}: {per_fwd * 1000:.2f} ms/fwd → {bs / per_fwd:.1f} img/s")
+    return out
+
+
+def bench_train_step(iters):
+    """fai-detr fine-tune step: fwd+loss (auction Hungarian)+bwd+AdamW, b16@640
+    (BASELINE.json config 5). Chained via the state carry — each scan iteration
+    is a full optimizer step on the same batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.model_manager import ModelManager
+    from focoos_tpu.models.fai_detr.loss import make_loss_fn
+    from focoos_tpu.models.fai_detr.ports import DETRTargets
+    from focoos_tpu.ports import TrainerArgs
+    from focoos_tpu.trainer.solver import build_optimizer
+    from focoos_tpu.trainer.train_step import build_train_step, create_train_state
+
+    model = ModelManager.get("fai-detr-m-coco", dtype="bfloat16")
+    b, size, n_inst = 16, 640, 25
+    rng_np = np.random.default_rng(0)
+    images = jnp.asarray(rng_np.random((b, size, size, 3), np.float32) * 255.0)
+    boxes = np.abs(rng_np.normal(0.4, 0.15, (b, n_inst, 4))).clip(0.05, 0.9).astype(np.float32)
+    targets = DETRTargets(
+        labels=jnp.asarray(rng_np.integers(0, 80, (b, n_inst)).astype(np.int32)),
+        boxes=jnp.asarray(boxes),
+        valid=jnp.asarray(rng_np.random((b, n_inst)) > 0.3),
+    )
+    args = TrainerArgs(run_name="bench", max_iters=10)
+    tx, _ = build_optimizer(model.variables["params"], args)
+    state = create_train_state(dict(model.variables), tx)
+    loss_fn = make_loss_fn(model.module, model.config)
+    step = build_train_step(loss_fn, tx, donate=False)
+
+    @jax.jit
+    def run(state):
+        def body(s, r):
+            s2, m = step(s, (images, targets), r)
+            return s2, m["total_loss"]
+
+        rngs = jax.random.split(jax.random.PRNGKey(0), iters)
+        s, losses = jax.lax.scan(body, state, rngs)
+        return jnp.mean(losses)
+
+    float(run(state))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(state))
+        ts.append(time.perf_counter() - t0)
+    ms = min(ts) / iters * 1000
+    log(f"fai-detr-m train step @640 b16: {ms:.2f} ms/step → {b / (ms / 1000):.1f} img/s")
+    return {"step_ms": round(ms, 3), "ips": round(b / (ms / 1000), 2)}
 
 
 def main():
@@ -51,8 +138,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-
-    from focoos_tpu.model_manager import ModelManager
 
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/focoos_tpu_xla"))
@@ -62,45 +147,65 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
     on_tpu = dev.platform not in ("cpu",)
-    dtype = "bfloat16" if on_tpu else "float32"
-
-    model = ModelManager.get("fai-detr-l-coco", dtype=dtype)
-
-    results = {}
-    batch_sizes = [1, 4, 16] if on_tpu else [1]
+    dtype = "bfloat16" if on_tpu else None
     iters = 32 if on_tpu else 2
-    best_ips = 0.0
-    p50_b1 = None
-    for bs in batch_sizes:
-        x = jnp.asarray(np.random.rand(bs, 640, 640, 3).astype(np.float32) * 255.0)
-        run = make_chained_bench(model.module, model.variables, x, iters)
+
+    workloads = {}
+
+    # 1. detection — the headline
+    det = bench_forward("fai-detr-l-coco", 640, [1, 4, 16] if on_tpu else [1], iters, dtype)
+    best_ips = max((v for k, v in det.items() if k.endswith("_ips")), default=0.0)
+    p50_b1 = det.get("b1_ms")
+    workloads["detection_fai-detr-l"] = {**det, "vs_baseline": round(best_ips / BASELINE_FPS_DETR_L, 3)}
+
+    if on_tpu:
+        # 2. classification @224
+        cls = bench_forward("fai-cls-m-coco", 224, [1, 64], iters, dtype)
+        workloads["classification_fai-cls-m"] = cls
+
+        # 3. bisenetformer semseg @640 with on-device per-pixel argmax
+        # (model outputs are already softmaxed probs / sigmoided masks at eval)
+        def semseg_post(out):
+            sem = jnp.einsum("bqc,bqhw->bchw", out.logits.astype(jnp.float32),
+                             out.masks.astype(jnp.float32))
+            return jnp.argmax(sem, axis=1).astype(jnp.float32)
+
         try:
-            float(run(x))  # compile + warm
+            sem = bench_forward("bisenetformer-l-ade", 640, [1, 8], iters, dtype, postproc=semseg_post)
+            b8 = sem.get("b8_ips") or sem.get("b1_ips") or 0
+            sem["vs_baseline_mf_l_ade"] = round(b8 / BASELINE_FPS_MF_L_ADE, 3)
         except Exception as e:
-            log(f"batch {bs}: {type(e).__name__}: {str(e)[:120]}")
-            break
-        trials = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(x))  # scalar fetch forces full completion
-            trials.append(time.perf_counter() - t0)
-        per_fwd = min(trials) / iters
-        ips = bs / per_fwd
-        results[f"b{bs}_ms"] = round(per_fwd * 1000, 3)
-        results[f"b{bs}_ips"] = round(ips, 2)
-        if bs == 1:
-            p50_b1 = per_fwd * 1000
-        best_ips = max(best_ips, ips)
-        log(f"batch {bs}: {per_fwd * 1000:.2f} ms/fwd → {ips:.1f} img/s")
+            sem = {"error": str(e)[:200]}
+        workloads["semseg_bisenetformer-l"] = sem
+
+        # 4. fai-mf instance segmentation @640 (mask-query einsum on-device)
+        def inst_post(out):
+            return jnp.einsum("bqc,bqhw->bchw", out.logits.astype(jnp.float32),
+                              out.masks.astype(jnp.float32))
+
+        try:
+            ins = bench_forward("fai-mf-l-coco-ins", 640, [1, 8], iters, dtype,
+                                postproc=inst_post, overrides={"image_size": 640})
+            b8 = ins.get("b8_ips") or ins.get("b1_ips") or 0
+            ins["vs_baseline"] = round(b8 / BASELINE_FPS_MF_L_INS, 3)
+        except Exception as e:
+            ins = {"error": str(e)[:200]}
+        workloads["instseg_fai-mf-l"] = ins
+
+        # 5. fine-tune train step
+        try:
+            workloads["train_step_fai-detr-m"] = bench_train_step(max(8, iters // 4))
+        except Exception as e:
+            workloads["train_step_fai-detr-m"] = {"error": str(e)[:200]}
 
     out = {
         "metric": "fai-detr-l-coco 640x640 throughput (1 chip, bf16)",
         "value": round(best_ips, 2),
         "unit": "img/s",
-        "vs_baseline": round(best_ips / BASELINE_FPS, 3),
-        "p50_latency_ms_b1": round(p50_b1, 3) if p50_b1 else None,
+        "vs_baseline": round(best_ips / BASELINE_FPS_DETR_L, 3),
+        "p50_latency_ms_b1": p50_b1,
         "device": str(dev.device_kind),
-        "detail": results,
+        "workloads": workloads,
     }
     print(json.dumps(out))
 

@@ -48,6 +48,43 @@ def _build_trainer_args(ns: argparse.Namespace, run_name: str):
     return TrainerArgs(**kwargs)
 
 
+def _add_aug_args(p: argparse.ArgumentParser) -> None:
+    """Expose every DatasetAugmentations field as --aug-* (train pipeline) and
+    --val-aug-* (val pipeline) flags — the reference mirrors the full
+    augmentation dataclass into CLI flags (cli/cli.py:279-525)."""
+    from focoos_tpu.data.default_aug import DatasetAugmentations
+
+    for prefix in ("aug", "val-aug"):
+        for f in dataclasses.fields(DatasetAugmentations):
+            if f.name == "resolution":
+                continue  # resolution comes from --im-size
+            arg = f"--{prefix}-" + f.name.replace("_", "-")
+            if isinstance(f.default, bool):
+                p.add_argument(arg, type=lambda x: x.lower() in ("1", "true", "yes"), default=None)
+            elif isinstance(f.default, int):
+                p.add_argument(arg, type=int, default=None)
+            elif isinstance(f.default, float):
+                p.add_argument(arg, type=float, default=None)
+            else:
+                p.add_argument(arg, type=float, default=None)
+
+
+def _build_augs(ns: argparse.Namespace, task, im_size):
+    """Task defaults overridden by any --aug-*/--val-aug-* flags the user set."""
+    from focoos_tpu.data.default_aug import DatasetAugmentations, get_default_by_task
+
+    train_augs, val_augs = get_default_by_task(task, resolution=im_size)
+    for prefix, augs in (("aug", train_augs), ("val_aug", val_augs)):
+        overrides = {}
+        for f in dataclasses.fields(DatasetAugmentations):
+            v = getattr(ns, f"{prefix}_{f.name}", None)
+            if v is not None:
+                overrides[f.name] = v
+        if overrides:
+            augs.override(overrides)
+    return train_augs, val_augs
+
+
 def cmd_version(_):
     print("focoos-tpu 0.1.0")
 
@@ -81,12 +118,11 @@ def cmd_settings(_):
 
 def cmd_train(ns):
     from focoos_tpu.data.auto_dataset import AutoDataset
-    from focoos_tpu.data.default_aug import get_default_by_task
     from focoos_tpu.model_manager import ModelManager
     from focoos_tpu.ports import DatasetSplitType, Task
 
     auto = AutoDataset(ns.dataset, Task(ns.task), ns.dataset_layout)
-    train_augs, val_augs = get_default_by_task(Task(ns.task), resolution=ns.im_size)
+    train_augs, val_augs = _build_augs(ns, Task(ns.task), ns.im_size)
     train_ds = auto.get_split(train_augs, DatasetSplitType.TRAIN)
     val_ds = auto.get_split(val_augs, DatasetSplitType.VAL)
 
@@ -182,6 +218,7 @@ def main(argv=None):
     p.add_argument("--im-size", type=_parse_im_size, default=640)
     p.add_argument("--run-name", default=None)
     _add_trainer_args(p)
+    _add_aug_args(p)
 
     p = sub.add_parser("val")
     p.add_argument("--model", required=True)

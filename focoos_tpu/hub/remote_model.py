@@ -61,6 +61,12 @@ class RemoteModel:
         r.raise_for_status()
         return r.json()
 
+    def metrics(self) -> dict:
+        """Remote training metrics (reference :176 RemoteModel.metrics)."""
+        r = self.api_client.get(f"models/{self.model_ref}/metrics")
+        r.raise_for_status()
+        return r.json()
+
     def monitor_train(self, poll_seconds: float = 30.0, timeout: float = 3600.0) -> dict:
         """Poll training status until terminal (reference :314 notebook monitor)."""
         start = time.time()
@@ -72,3 +78,38 @@ class RemoteModel:
                 return info
             time.sleep(poll_seconds)
         raise TimeoutError(f"training monitor timed out after {timeout}s")
+
+    def notebook_monitor_train(self, interval: int = 30, plot_metrics: bool = False,
+                               max_runtime: int = 36000) -> dict:
+        """Status + tail-of-logs + optional metric plot each poll, until the
+        job reaches a terminal state (reference :314-383)."""
+        start = time.time()
+        last_log_len = 0
+        while time.time() - start < max_runtime:
+            info = self.get_info()
+            status = info.get("status")
+            try:
+                lines = self.train_logs()
+                for line in lines[last_log_len:]:
+                    logger.info(f"[{self.model_ref}] {line}")
+                last_log_len = len(lines)
+            except Exception as e:  # logs endpoint may lag the job
+                logger.debug(f"train_logs unavailable: {e}")
+            if plot_metrics:
+                try:
+                    from focoos_tpu.utils.metrics import Metrics, MetricsVisualizer
+
+                    raw = self.metrics()
+                    m = Metrics(
+                        train_metrics=raw.get("train_metrics", []),
+                        valid_metrics=raw.get("valid_metrics", []),
+                        best_valid_metric=raw.get("best_valid_metric"),
+                    )
+                    MetricsVisualizer(m).notebook_plot_training_metrics()
+                except Exception as e:
+                    logger.debug(f"metrics plot unavailable: {e}")
+            logger.info(f"[{self.model_ref}] status={status}")
+            if status in ("TRAINING_COMPLETED", "TRAINING_ERROR", "TRAINING_STOPPED"):
+                return info
+            time.sleep(interval)
+        raise TimeoutError(f"training monitor timed out after {max_runtime}s")

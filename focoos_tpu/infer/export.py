@@ -26,8 +26,13 @@ def export_model(
     out_dir: Optional[str] = None,
     image_size: Optional[Union[int, Tuple[int, int]]] = None,
     batch_size: int = 1,
+    size_buckets: Optional[Tuple] = None,
 ):
-    """→ InferModel over the exported artifact dir."""
+    """→ InferModel over the exported artifact dir.
+
+    ``size_buckets``: extra (H, W) sizes to also serialize (STABLEHLO only);
+    the runtime dispatches each request to the closest bucket by area.
+    """
     from focoos_tpu.infer.infer_model import InferModel
 
     out_dir = out_dir or os.path.join(MODELS_DIR, model.name, "export")
@@ -63,12 +68,23 @@ def export_model(
             out, _ = module.apply(variables, images, train=False)
             return tuple(getattr(out, n) for n in model.processor.get_output_names())
 
-        spec = jax.ShapeDtypeStruct((batch_size, *hw, 3), jnp.uint8)
-        exported = jax_export.export(jax.jit(forward))(spec)
-        path = os.path.join(out_dir, ArtifactName.STABLEHLO.value)
-        with open(path, "wb") as f:
-            f.write(exported.serialize())
-        logger.info(f"Exported StableHLO artifact to {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
+        def _serialize(shape_hw, path):
+            spec = jax.ShapeDtypeStruct((batch_size, *shape_hw, 3), jnp.uint8)
+            exported = jax_export.export(jax.jit(forward))(spec)
+            with open(path, "wb") as f:
+                f.write(exported.serialize())
+            logger.info(f"Exported StableHLO @{shape_hw} to {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
+
+        # primary program at the configured size (back-compat single-file load)
+        _serialize(hw, os.path.join(out_dir, ArtifactName.STABLEHLO.value))
+        # bucketed multi-shape export: one program per extra size, dispatched
+        # by input shape at serve time — the ONNX dynamic-axes analog
+        # (reference: models/fai_detr/processor.py:242-251)
+        for b in size_buckets or ():
+            bhw = (b, b) if isinstance(b, int) else tuple(b)
+            if bhw == hw:
+                continue
+            _serialize(bhw, os.path.join(out_dir, f"model_{bhw[0]}x{bhw[1]}.stablehlo"))
 
     logger.info(f"Export complete → {out_dir}")
     return InferModel(out_dir, runtime_type=runtime_type)

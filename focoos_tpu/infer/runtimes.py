@@ -218,6 +218,7 @@ class Int8XLARuntime(BaseRuntime):
         import jax.numpy as jnp
 
         if shape not in self._fns:
+            from focoos_tpu.nn.layers import common as nn_common
             from focoos_tpu.utils.checkpoint import unflatten_tree
 
             module = self.module
@@ -231,7 +232,16 @@ class Int8XLARuntime(BaseRuntime):
                     elif not k.endswith("@scale"):
                         flat[k] = v
                 variables = unflatten_tree(flat)
-                out, _ = module.apply(variables, images, train=False)
+                # the fn body runs at trace time, so this flips every ConvNorm
+                # in the traced graph onto the int8 QDQ path (and the weight
+                # requantization there is exact: the store already holds
+                # int8-rounded values)
+                old = nn_common.INT8_QDQ
+                nn_common.INT8_QDQ = True
+                try:
+                    out, _ = module.apply(variables, images, train=False)
+                finally:
+                    nn_common.INT8_QDQ = old
                 return out
 
             self._fns[shape] = fwd
@@ -248,6 +258,7 @@ class Int8XLARuntime(BaseRuntime):
     def _traced_forward(self):
         import jax.numpy as jnp
 
+        from focoos_tpu.nn.layers import common as nn_common
         from focoos_tpu.utils.checkpoint import unflatten_tree
 
         module, store = self.module, self._store
@@ -260,49 +271,92 @@ class Int8XLARuntime(BaseRuntime):
                 elif not k.endswith("@scale"):
                     flat[k] = v
             variables = unflatten_tree(flat)
-            return module.apply(variables, images, train=False)[0]
+            old = nn_common.INT8_QDQ
+            nn_common.INT8_QDQ = True
+            try:
+                return module.apply(variables, images, train=False)[0]
+            finally:
+                nn_common.INT8_QDQ = old
 
         return fwd
 
 
 class StableHLORuntime(BaseRuntime):
-    """Executes a serialized jax.export artifact (the exchange format —
-    analog of a .onnx file; reference ExportFormat.ONNX)."""
+    """Executes serialized jax.export artifacts (the exchange format —
+    analog of a .onnx file; reference ExportFormat.ONNX).
+
+    Multi-shape dispatch: sibling ``model_{H}x{W}.stablehlo`` programs written
+    by the bucketed export are loaded as shape buckets; a request whose (H, W)
+    has no exact program is squash-resized to the closest bucket by area —
+    the ONNX dynamic-axes analog (reference: fai_detr/processor.py:242-251;
+    same squash-resize semantics as Processor.get_batch)."""
 
     def __init__(self, artifact_path: str, output_names: List[str]):
-        import jax
+        import glob
+        import re
+
         from jax import export as jax_export
 
         _enable_compile_cache()
-        with open(artifact_path, "rb") as f:
-            self._exported = jax_export.deserialize(f.read())
+
+        def load(path):
+            with open(path, "rb") as f:
+                return jax_export.deserialize(f.read())
+
+        self._programs: Dict[Tuple[int, int], Any] = {}
+        self._exported = load(artifact_path)
+        self._programs[self._hw(self._exported)] = self._exported
+        for p in glob.glob(os.path.join(os.path.dirname(artifact_path), "model_*x*.stablehlo")):
+            if re.match(r"model_\d+x\d+\.stablehlo$", os.path.basename(p)):
+                prog = load(p)
+                self._programs[self._hw(prog)] = prog
         self.output_names = output_names
-        # the serialized program has a fixed batch; larger inputs are chunked
+        # each serialized program has a fixed batch; larger inputs are chunked
         try:
             self._batch = int(self._exported.in_avals[0].shape[0])
         except Exception:
             self._batch = 1
 
-    def _call_fixed(self, images) -> List[np.ndarray]:
+    @staticmethod
+    def _hw(exported) -> Tuple[int, int]:
+        shape = exported.in_avals[0].shape
+        return (int(shape[1]), int(shape[2]))
+
+    def _pick_program(self, h: int, w: int):
+        if (h, w) in self._programs:
+            return self._programs[(h, w)], False
+        area = h * w
+        best = min(self._programs, key=lambda hw: abs(hw[0] * hw[1] - area))
+        return self._programs[best], True
+
+    def _call_fixed(self, images, program=None) -> List[np.ndarray]:
         import jax
 
-        outs = self._exported.call(images)
+        outs = (program or self._exported).call(images)
         outs = jax.block_until_ready(outs)
         flat = outs if isinstance(outs, (list, tuple)) else [outs]
         return [np.asarray(o) for o in flat]
 
     def __call__(self, images: np.ndarray) -> List[np.ndarray]:
         images = np.asarray(images)
+        program, needs_resize = self._pick_program(images.shape[1], images.shape[2])
+        if needs_resize:
+            import cv2
+
+            th, tw = self._hw(program)
+            images = np.stack(
+                [cv2.resize(im, (tw, th), interpolation=cv2.INTER_LINEAR) for im in images]
+            ).astype(images.dtype)
         n, b = images.shape[0], self._batch
         if n == b:
-            return self._call_fixed(images)
+            return self._call_fixed(images, program)
         # pad-and-chunk to the artifact's fixed batch (ONNX fixed-axis analog)
         chunks: List[List[np.ndarray]] = []
         for i in range(0, n, b):
             part = images[i : i + b]
             if part.shape[0] < b:
                 part = np.concatenate([part, np.repeat(part[-1:], b - part.shape[0], axis=0)])
-            chunks.append(self._call_fixed(part))
+            chunks.append(self._call_fixed(part, program))
         return [np.concatenate([c[k] for c in chunks])[:n] for k in range(len(chunks[0]))]
 
     def _traced_forward(self):

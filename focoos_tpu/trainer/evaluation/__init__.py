@@ -39,24 +39,73 @@ __all__ = [
 ]
 
 
+def _shard_indices(n: int, rank: int, world: int) -> List[int]:
+    """Exact contiguous partition of [0, n) across hosts
+    (reference: data/samplers.py InferenceSampler — every index exactly once)."""
+    per = n // world
+    rem = n % world
+    begin = rank * per + min(rank, rem)
+    end = begin + per + (1 if rank < rem else 0)
+    return list(range(begin, end))
+
+
 def inference_on_dataset(model, dataset, evaluator: DatasetEvaluator, batch_size: int = 8) -> Dict:
     """Batched eval loop with data/compute timing
-    (reference: trainer/evaluation/evaluator.py:115-236)."""
+    (reference: trainer/evaluation/evaluator.py:115-236).
+
+    Multi-host: each host evaluates its InferenceSampler shard, then evaluator
+    states are merged via all_gather_objects before ``evaluate()`` — the
+    analog of the reference's comm.all_gather in sem_seg_evaluation.py /
+    comm.py:139. Host preprocessing overlaps device compute through a
+    depth-2 background prefetcher.
+    """
+    import queue
+    import threading
+
     import jax
 
+    from focoos_tpu.parallel.mesh import all_gather_objects, get_rank, get_world_size
+
     evaluator.reset()
-    n = len(dataset)
+    rank, world = get_rank(), get_world_size()
+    indices = _shard_indices(len(dataset), rank, world)
+    n = len(indices)
     total_compute, total_data = 0.0, 0.0
     start = time.perf_counter()
-    i = 0
-    while i < n:
-        t0 = time.perf_counter()
-        entries: List[DatasetEntry] = [dataset[j] for j in range(i, min(i + batch_size, n))]
-        # pad the last batch to a static shape (avoids a fresh XLA compile)
-        pad = batch_size - len(entries)
-        batch_entries = entries + [entries[-1]] * pad
-        batch, _ = model.processor.preprocess(batch_entries)
-        total_data += time.perf_counter() - t0
+
+    def batches():
+        i = 0
+        while i < n:
+            t0 = time.perf_counter()
+            entries: List[DatasetEntry] = [dataset[indices[j]] for j in range(i, min(i + batch_size, n))]
+            # pad the last batch to a static shape (avoids a fresh XLA compile)
+            pad = batch_size - len(entries)
+            batch_entries = entries + [entries[-1]] * pad
+            batch, _ = model.processor.preprocess(batch_entries)
+            yield entries, batch_entries, batch, time.perf_counter() - t0
+            i += len(entries)
+
+    # depth-2 prefetch: host preprocess of batch k+1 overlaps device compute of k
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    _SENTINEL = object()
+
+    def producer():
+        try:
+            for item in batches():
+                q.put(item)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    done = 0
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        entries, batch_entries, batch, data_time = item
+        total_data += data_time
 
         t1 = time.perf_counter()
         out = model.forward(batch)
@@ -65,8 +114,12 @@ def inference_on_dataset(model, dataset, evaluator: DatasetEvaluator, batch_size
 
         results = model.processor.eval_postprocess(out, batch_entries)
         evaluator.process(entries, results[: len(entries)])
-        i += len(entries)
-        log_every_n_seconds(logger, f"eval {i}/{n} images", n=10)
+        done += len(entries)
+        log_every_n_seconds(logger, f"eval {done}/{n} images (host {rank}/{world})", n=10)
+
+    if world > 1:
+        states = all_gather_objects(evaluator.state_for_gather())
+        evaluator.load_gathered_states(states)
 
     results = evaluator.evaluate()
     logger.info(

@@ -29,6 +29,17 @@ class DatasetEvaluator:
     def evaluate(self) -> Dict[str, Dict[str, float]]:
         raise NotImplementedError
 
+    # -- multi-host merge seam (analog of the reference's comm.all_gather in
+    # sem_seg_evaluation.py; states are picklable, gathered across hosts by
+    # inference_on_dataset and merged before evaluate()) -------------------
+    def state_for_gather(self):
+        """Picklable accumulator state for cross-host gathering."""
+        raise NotImplementedError(f"{type(self).__name__} does not support multi-host eval")
+
+    def load_gathered_states(self, states: List) -> None:
+        """Replace local accumulators with the merge of every host's state."""
+        raise NotImplementedError(f"{type(self).__name__} does not support multi-host eval")
+
 
 class DatasetEvaluators(DatasetEvaluator):
     def __init__(self, evaluators: List[DatasetEvaluator]):
@@ -49,6 +60,13 @@ class DatasetEvaluators(DatasetEvaluator):
             if r:
                 results.update(r)
         return results
+
+    def state_for_gather(self):
+        return [e.state_for_gather() for e in self._evaluators]
+
+    def load_gathered_states(self, states):
+        for i, e in enumerate(self._evaluators):
+            e.load_gathered_states([s[i] for s in states])
 
 
 def _gt_from_entry(entry: DatasetEntry):
@@ -98,6 +116,12 @@ class DetectionEvaluator(DatasetEvaluator):
     def evaluate(self):
         return {"bbox": self._coco.summarize("bbox")}
 
+    def state_for_gather(self):
+        return self._coco._entries
+
+    def load_gathered_states(self, states):
+        self._coco._entries = [e for s in states for e in s]
+
 
 class InstanceSegmentationEvaluator(DatasetEvaluator):
     """COCO segm AP (reference: detection_evaluation.py:356)."""
@@ -132,6 +156,13 @@ class InstanceSegmentationEvaluator(DatasetEvaluator):
     def evaluate(self):
         return {"segm": self._coco.summarize("segm"), "bbox": self._box.summarize("bbox")}
 
+    def state_for_gather(self):
+        return (self._coco._entries, self._box._entries)
+
+    def load_gathered_states(self, states):
+        self._coco._entries = [e for s in states for e in s[0]]
+        self._box._entries = [e for s in states for e in s[1]]
+
 
 class KeypointEvaluator(DatasetEvaluator):
     """OKS keypoint AP (reference: keypoint.py:63)."""
@@ -164,6 +195,12 @@ class KeypointEvaluator(DatasetEvaluator):
     def evaluate(self):
         return {"keypoints": self._coco.summarize("keypoints")}
 
+    def state_for_gather(self):
+        return self._coco._entries
+
+    def load_gathered_states(self, states):
+        self._coco._entries = [e for s in states for e in s]
+
 
 class SemSegEvaluator(DatasetEvaluator):
     """Confusion-matrix mIoU / fwIoU / mACC / pACC (reference: sem_seg_evaluation.py:37)."""
@@ -195,6 +232,12 @@ class SemSegEvaluator(DatasetEvaluator):
                                   interpolation=cv2.INTER_NEAREST).astype(np.int64)
             n = self.num_classes + 1
             self._conf += np.bincount(n * gt.reshape(-1) + pred.reshape(-1), minlength=n**2).reshape(n, n)
+
+    def state_for_gather(self):
+        return self._conf
+
+    def load_gathered_states(self, states):
+        self._conf = np.sum(np.stack(states), axis=0)
 
     def evaluate(self):
         conf = self._conf[: self.num_classes, : self.num_classes].astype(np.float64)
@@ -244,6 +287,14 @@ class ClassificationEvaluator(DatasetEvaluator):
             self._tp += pred & gt
             self._fp += pred & ~gt
             self._fn += ~pred & gt
+
+    def state_for_gather(self):
+        return (self._tp, self._fp, self._fn)
+
+    def load_gathered_states(self, states):
+        self._tp = np.sum([s[0] for s in states], axis=0)
+        self._fp = np.sum([s[1] for s in states], axis=0)
+        self._fn = np.sum([s[2] for s in states], axis=0)
 
     def evaluate(self):
         prec = self._tp / np.maximum(self._tp + self._fp, 1e-9)
@@ -347,6 +398,15 @@ class PanopticEvaluator(DatasetEvaluator):
                 continue
             if (p // ld) < self.num_classes:
                 self._fp[p // ld] += 1
+
+    def state_for_gather(self):
+        return (self._iou, self._tp, self._fp, self._fn)
+
+    def load_gathered_states(self, states):
+        self._iou = np.sum([s[0] for s in states], axis=0)
+        self._tp = np.sum([s[1] for s in states], axis=0)
+        self._fp = np.sum([s[2] for s in states], axis=0)
+        self._fn = np.sum([s[3] for s in states], axis=0)
 
     def evaluate(self):
         valid = (self._tp + self._fp + self._fn) > 0

@@ -105,3 +105,26 @@ def test_hub_download_skips_network_when_cached(hub, monkeypatch, tmp_path):
     out = hub.download_model_pth("ref1", out_dir=str(tmp_path))
     assert out == str(weights)
     assert called["n"] == 1
+
+
+def test_remote_model_notebook_monitor_polls_to_terminal(monkeypatch):
+    """notebook_monitor_train streams new log lines and returns on a terminal
+    status (reference: remote_model.py:200 train_logs, :314 monitor)."""
+    from focoos_tpu.hub.remote_model import RemoteModel
+
+    client = ApiClient(api_key="k")
+    statuses = iter(["TRAINING_RUNNING", "TRAINING_RUNNING", "TRAINING_COMPLETED"])
+    logs = iter([["l1"], ["l1", "l2"], ["l1", "l2", "l3"]])
+
+    def fake_get(path, **kw):
+        if path.endswith("/train/logs"):
+            return FakeResponse(next(logs))
+        return FakeResponse({"status": next(statuses), "ref": "r"})
+
+    monkeypatch.setattr(client, "get", fake_get)
+    rm = RemoteModel("r", client)
+    import time as _t
+
+    monkeypatch.setattr(_t, "sleep", lambda s: None)
+    info = rm.notebook_monitor_train(interval=0)
+    assert info["status"] == "TRAINING_COMPLETED"

@@ -156,3 +156,69 @@ def test_load_runtime_dispatch_and_guards():
         load_runtime(RuntimeType.STABLEHLO, output_names=["x"])  # no artifact
     with _pytest.raises(AssertionError):
         load_runtime(RuntimeType.XLA_TPU_INT8, output_names=["x"])  # no module+artifact
+
+
+def test_int8_qdq_conv_param_tree_and_snr():
+    """INT8_QDQ ConvNorm shares the float path's param tree exactly and its
+    QDQ output stays within PTQ error of the float conv (reference analog:
+    quantize_static QDQ graphs, infer/quantizer.py:200-209)."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.nn.layers import common as nn_common
+    from focoos_tpu.nn.layers.common import ConvNorm
+
+    mod = ConvNorm(16, 3, 1, norm=None, act=None)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 8))
+    variables = mod.init(jax.random.PRNGKey(1), x)
+
+    y_f = mod.apply(variables, x)
+    assert not nn_common.INT8_QDQ
+    nn_common.INT8_QDQ = True
+    try:
+        v2 = mod.init(jax.random.PRNGKey(1), x)
+        # identical tree: int8 path must load float checkpoints unchanged
+        assert jax.tree.structure(v2) == jax.tree.structure(variables)
+        y_q = mod.apply(variables, x)
+    finally:
+        nn_common.INT8_QDQ = False
+
+    err = jnp.linalg.norm(y_f - y_q) / jnp.linalg.norm(y_f)
+    snr_db = -20 * jnp.log10(err)
+    assert y_q.shape == y_f.shape
+    assert float(snr_db) > 25.0, f"int8 SNR too low: {float(snr_db):.1f} dB"
+
+    # train=True keeps the float path (QDQ is inference-only)
+    nn_common.INT8_QDQ = True
+    try:
+        y_t = mod.apply(variables, x, train=True)
+    finally:
+        nn_common.INT8_QDQ = False
+    assert float(jnp.abs(y_t - y_f).max()) < 1e-6
+
+
+def test_export_stablehlo_size_buckets_dispatch(tiny_model, tmp_path_factory):
+    """Bucketed export writes one program per size; the runtime dispatches an
+    odd-size input to the closest bucket by area (ONNX dynamic-axes analog,
+    reference fai_detr/processor.py:242-251)."""
+    from focoos_tpu.infer.runtimes import StableHLORuntime
+
+    out = str(tmp_path_factory.mktemp("hlo_buckets"))
+    infer_model = tiny_model.export(
+        RuntimeType.STABLEHLO, out_dir=out, image_size=96, size_buckets=[64]
+    )
+    assert os.path.isfile(os.path.join(out, "model.stablehlo"))
+    assert os.path.isfile(os.path.join(out, "model_64x64.stablehlo"))
+
+    rt = infer_model.runtime
+    assert isinstance(rt, StableHLORuntime)
+    assert set(rt._programs) == {(96, 96), (64, 64)}
+
+    # exact bucket hits run without resize
+    out96 = rt(np.random.randint(0, 255, (1, 96, 96, 3), np.uint8))
+    out64 = rt(np.random.randint(0, 255, (1, 64, 64, 3), np.uint8))
+    assert out96[0].shape[0] == 1 and out64[0].shape[0] == 1
+
+    # odd size (70x70) → closest bucket by area is 64x64 (squash-resized)
+    out70 = rt(np.random.randint(0, 255, (2, 70, 70, 3), np.uint8))
+    assert out70[0].shape[0] == 2

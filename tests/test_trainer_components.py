@@ -402,3 +402,79 @@ def test_sharded_train_step_matches_single_device():
     )
     assert float(m1["total_loss"]) == pytest.approx(float(m2["total_loss"]), rel=1e-5)
     assert float(m1["grad_norm"]) == pytest.approx(float(m2["grad_norm"]), rel=1e-4)
+
+
+def test_evaluator_multihost_merge_seam():
+    """Splitting images across two evaluator instances and merging their
+    gathered states must reproduce the single-evaluator result exactly
+    (reference: comm.all_gather in sem_seg_evaluation.py; VERDICT r1 #8)."""
+    from focoos_tpu.structures import Boxes, Instances
+    from focoos_tpu.trainer.evaluation import DetectionEvaluator, SemSegEvaluator
+    from focoos_tpu.ports import DatasetEntry
+
+    rng = np.random.default_rng(0)
+
+    def det_sample(seed):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(1, 6))
+        xy = r.uniform(0, 80, (n, 2))
+        wh = r.uniform(5, 40, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        cls = r.integers(0, 3, n)
+        gt = Instances((128, 128), boxes=Boxes(boxes), classes=cls)
+        jitter = boxes + r.normal(0, 3, boxes.shape).astype(np.float32)
+        pred = Instances((128, 128), boxes=Boxes(jitter), classes=cls,
+                         scores=r.uniform(0.2, 1, n))
+        return DatasetEntry(instances=gt, height=128, width=128), {"instances": pred}
+
+    samples = [det_sample(i) for i in range(10)]
+
+    single = DetectionEvaluator(class_names=["a", "b", "c"])
+    for inp, out in samples:
+        single.process([inp], [out])
+    want = single.evaluate()["bbox"]
+
+    host0 = DetectionEvaluator(class_names=["a", "b", "c"])
+    host1 = DetectionEvaluator(class_names=["a", "b", "c"])
+    for inp, out in samples[:5]:
+        host0.process([inp], [out])
+    for inp, out in samples[5:]:
+        host1.process([inp], [out])
+    states = [host0.state_for_gather(), host1.state_for_gather()]
+    merged = DetectionEvaluator(class_names=["a", "b", "c"])
+    merged.load_gathered_states(states)
+    got = merged.evaluate()["bbox"]
+    for k in want:
+        if np.isnan(want[k]):
+            assert np.isnan(got[k]), k
+        else:
+            assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+    # semseg confusion-matrix merge
+    gts = [rng.integers(0, 3, (16, 16)).astype(np.uint8) for _ in range(4)]
+    preds = [rng.integers(0, 3, (16, 16)).astype(np.int64) for _ in range(4)]
+    sev = SemSegEvaluator(num_classes=3)
+    for g, p in zip(gts, preds):
+        sev.process([DatasetEntry(sem_seg=g)], [{"sem_seg": p}])
+    want_s = sev.evaluate()["sem_seg"]
+    h0, h1 = SemSegEvaluator(3), SemSegEvaluator(3)
+    for g, p in zip(gts[:2], preds[:2]):
+        h0.process([DatasetEntry(sem_seg=g)], [{"sem_seg": p}])
+    for g, p in zip(gts[2:], preds[2:]):
+        h1.process([DatasetEntry(sem_seg=g)], [{"sem_seg": p}])
+    m = SemSegEvaluator(3)
+    m.load_gathered_states([h0.state_for_gather(), h1.state_for_gather()])
+    got_s = m.evaluate()["sem_seg"]
+    for k in want_s:
+        assert got_s[k] == pytest.approx(want_s[k], abs=1e-12), k
+
+
+def test_shard_indices_exact_partition():
+    from focoos_tpu.trainer.evaluation import _shard_indices
+
+    for n in (0, 1, 7, 16, 23):
+        for world in (1, 2, 3, 8):
+            all_idx = []
+            for r in range(world):
+                all_idx += _shard_indices(n, r, world)
+            assert sorted(all_idx) == list(range(n)), (n, world)

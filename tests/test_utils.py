@@ -66,3 +66,23 @@ def test_parse_metrics_missing_file():
 
     m = parse_metrics("/definitely/not/here/metrics.json")
     assert m.train_metrics == [] and m.valid_metrics == []
+
+
+def test_cli_aug_flags_override_defaults():
+    """--aug-*/--val-aug-* flags override the task-default pipelines
+    (reference: cli/cli.py:279-525 full DatasetAugmentations flag surface)."""
+    import argparse
+
+    from focoos_tpu.cli.cli import _add_aug_args, _build_augs
+    from focoos_tpu.ports import Task
+
+    p = argparse.ArgumentParser()
+    _add_aug_args(p)
+    ns = p.parse_args(["--aug-horizontal-flip", "0.9", "--aug-rotation", "15",
+                       "--val-aug-square", "1.0"])
+    train_augs, val_augs = _build_augs(ns, Task.DETECTION, 320)
+    assert train_augs.horizontal_flip == 0.9
+    assert train_augs.rotation == 15.0
+    assert val_augs.square == 1.0
+    assert val_augs.horizontal_flip != 0.9  # val pipeline untouched by --aug-*
+    assert train_augs.resolution == 320
