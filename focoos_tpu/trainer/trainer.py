@@ -408,13 +408,22 @@ class FocoosTrainer:
         self.model.processor.train(False)
         try:
             tiles = []
+            # square render size: one compile for the whole mosaic regardless
+            # of per-image val shapes (avoids a recompile per distinct shape)
+            rs = self.model.im_size
+            rs = int(rs[0] if isinstance(rs, (tuple, list)) else (rs or 640))
             for i in range(min(n, len(self.val_dataset))):
                 entry = self.val_dataset[i]
                 img = entry.image if entry.image is not None else None
                 if img is None:
                     continue
-                dets = self.model.infer(np.asarray(img), threshold=0.3)
-                tiles.append(annotate_image(np.asarray(img), dets, task=self.model.task,
+                img = np.asarray(img)
+                if img.shape[:2] != (rs, rs):
+                    import cv2
+
+                    img = cv2.resize(img, (rs, rs), interpolation=cv2.INTER_LINEAR)
+                dets = self.model.infer(img, threshold=0.3)
+                tiles.append(annotate_image(img, dets, task=self.model.task,
                                             classes=self.model.classes))
         except Exception as e:  # visualization must never kill training
             logger.warning(f"visualization render failed: {e}")

@@ -178,3 +178,25 @@ def test_giou_matches_reference_math(rng):
             hull = (ex1 - ex0) * (ey1 - ey0)
             ref = inter / union - (hull - union) / hull
             assert abs(gi[i, j] - ref) < 1e-5
+
+
+def test_pallas_nms_interpret_matches_xla_loop():
+    """Pallas NMS sweep in interpreter mode must produce bit-identical keep
+    masks to the XLA fori_loop form — covers the TPU branch on CPU CI
+    (VERDICT r1 weak #9)."""
+    import jax.numpy as jnp
+
+    from focoos_tpu.ops.nms import nms_keep
+    from focoos_tpu.ops.pallas.nms_kernel import nms_keep_pallas
+
+    rng = np.random.default_rng(0)
+    for k, thr in ((64, 0.5), (128, 0.65)):
+        xy = rng.uniform(0, 90, (k, 2))
+        wh = rng.uniform(5, 40, (k, 2))
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+        # score-sorted with some zero (invalid) tail entries
+        scores = jnp.asarray(np.sort(rng.uniform(0, 1, k))[::-1].astype(np.float32))
+        scores = scores.at[-5:].set(0.0)
+        want = np.asarray(nms_keep(boxes, scores, thr))
+        got = np.asarray(nms_keep_pallas(boxes, scores, thr, interpret=True))
+        np.testing.assert_array_equal(got, want)
