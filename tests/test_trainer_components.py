@@ -478,3 +478,45 @@ def test_shard_indices_exact_partition():
             for r in range(world):
                 all_idx += _shard_indices(n, r, world)
             assert sorted(all_idx) == list(range(n)), (n, world)
+
+
+def test_multi_step_train_on_mesh_matches_single_device():
+    """steps_per_call>1 combined with the 8-device data mesh (scan over K
+    sharded batches) must match unmeshed iterated steps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from focoos_tpu.parallel.mesh import make_mesh, replicate
+    from focoos_tpu.trainer.train_step import (
+        build_multi_train_step,
+        build_train_step,
+        create_train_state,
+    )
+
+    def loss_fn(variables, batch, rng):
+        w = variables["params"]["w"]
+        x, y = batch
+        loss = jnp.mean((x @ w - y) ** 2)
+        return loss, ({"l": loss}, {"batch_stats": variables["batch_stats"]})
+
+    tx = optax.sgd(0.1)
+    variables = {"params": {"w": jnp.ones((3, 1))}, "batch_stats": {}}
+    k = jax.random.PRNGKey(0)
+    K, B = 3, 16
+    xs = jax.random.normal(k, (K, B, 3))
+    ys = jax.random.normal(jax.random.fold_in(k, 1), (K, B, 1))
+
+    single = build_train_step(loss_fn, tx, donate=False)
+    s1 = create_train_state(dict(variables), tx)
+    for i in range(K):
+        s1, _ = single(s1, (xs[i], ys[i]), jax.random.fold_in(jax.random.PRNGKey(7), i))
+
+    mesh = make_mesh((8,), devices=jax.devices()[:8])
+    multi = build_multi_train_step(loss_fn, tx, steps_per_call=K, mesh=mesh, donate=False)
+    s2 = replicate(create_train_state(dict(variables), tx), mesh)
+    s2, metrics = multi(s2, (xs, ys), jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(np.asarray(s1.params["w"]), np.asarray(jax.device_get(s2.params["w"])),
+                               rtol=2e-5)
+    assert int(jax.device_get(s2.step)) == K
