@@ -88,11 +88,14 @@ def inference_on_dataset(model, dataset, evaluator: DatasetEvaluator, batch_size
     # depth-2 prefetch: host preprocess of batch k+1 overlaps device compute of k
     q: "queue.Queue" = queue.Queue(maxsize=2)
     _SENTINEL = object()
+    producer_error: List[BaseException] = []
 
     def producer():
         try:
             for item in batches():
                 q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            producer_error.append(e)
         finally:
             q.put(_SENTINEL)
 
@@ -103,6 +106,8 @@ def inference_on_dataset(model, dataset, evaluator: DatasetEvaluator, batch_size
     while True:
         item = q.get()
         if item is _SENTINEL:
+            if producer_error:
+                raise producer_error[0]
             break
         entries, batch_entries, batch, data_time = item
         total_data += data_time
