@@ -47,10 +47,21 @@ def make_chained_fwd(module, variables, iters, postproc=None):
     import jax
     import jax.numpy as jnp
 
+    def sink(t):
+        # Cheap scalar summary of an output leaf. A full jnp.mean over a
+        # multi-MB output lowers to a pathological scalar reduce fusion that
+        # costs whole milliseconds on v5e (measured: 2.9 ms on bisenetformer's
+        # mask head alone) — pure measurement overhead. Slicing dim 1 to one
+        # slot keeps every batch row and every output head live (no DCE of
+        # heads) while the reduce drops to microseconds.
+        s = t[:, :1] if t.ndim >= 2 else t
+        return jnp.sum(s.astype(jnp.float32))
+
     def body(img, _):
         out, _aux = module.apply(variables, img, train=False)
-        leaf = postproc(out) if postproc is not None else jax.tree.leaves(out)[0]
-        bump = (jnp.mean(leaf.astype(jnp.float32)) * 1e-24).astype(img.dtype)
+        leaves = [postproc(out)] if postproc is not None else jax.tree.leaves(out)
+        sig = sum(sink(l) for l in leaves if hasattr(l, "ndim"))
+        bump = (sig * 1e-24).astype(img.dtype)
         return img + bump, None
 
     @jax.jit
@@ -197,6 +208,16 @@ def main():
             workloads["train_step_fai-detr-m"] = bench_train_step(max(8, iters // 4))
         except Exception as e:
             workloads["train_step_fai-detr-m"] = {"error": str(e)[:200]}
+
+        # 6. rtmo keypoints @640 (full on-device decode incl. Pallas NMS);
+        # published baseline: rtmo-s-coco 104 FPS T4-TRT (docs/models/index.md:50)
+        try:
+            kpt = bench_forward("rtmo-s-coco", 640, [1, 8], iters, dtype)
+            b8 = kpt.get("b8_ips") or kpt.get("b1_ips") or 0
+            kpt["vs_baseline"] = round(b8 / 104.0, 3)
+        except Exception as e:
+            kpt = {"error": str(e)[:200]}
+        workloads["keypoint_rtmo-s"] = kpt
 
     out = {
         "metric": "fai-detr-l-coco 640x640 throughput (1 chip, bf16)",

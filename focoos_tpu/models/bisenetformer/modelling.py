@@ -161,6 +161,14 @@ class BisenetFormer(nn.Module):
         masks = jax.nn.sigmoid(masks_raw)
         if not train:
             b, q = masks.shape[:2]
+            # Upsample per-query masks to input resolution in the compute
+            # dtype: the [B,Q,H,W] full-res tensor is the largest write of the
+            # whole eval graph (~655 MB in f32 at b8@640 — measured 2.9 ms,
+            # 36% of the forward); sigmoid probabilities lose only output
+            # rounding under a bf16 linear interpolation, and every consumer
+            # (semantic einsum, evaluators) upcasts to f32 anyway.
+            if self.dtype is not None:
+                masks = masks.astype(self.dtype)
             masks = jax.image.resize(
                 masks, (b, q, images.shape[1], images.shape[2]), method="bilinear", antialias=False
             )

@@ -259,6 +259,11 @@ class FAIMaskFormer(nn.Module):
         masks = jax.nn.sigmoid(masks_raw)
         if not train:
             b, q = masks.shape[:2]
+            # bf16 upsample of sigmoid masks — the full-res [B,Q,H,W] tensor
+            # dominates eval-graph bandwidth in f32 (see bisenetformer
+            # modelling.py for the measured breakdown); consumers upcast.
+            if self.dtype is not None:
+                masks = masks.astype(self.dtype)
             masks = jax.image.resize(
                 masks, (b, q, images.shape[1], images.shape[2]), method="bilinear", antialias=False
             )
