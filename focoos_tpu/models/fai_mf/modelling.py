@@ -189,7 +189,11 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             attn_mask = None
             if self.use_attn_masks:
                 m = jax.lax.stop_gradient(masks) if train else masks
-                attn_mask = _attn_allowed_from_masks(m.astype(jnp.float32), sizes[lvl])
+                # native-dtype resize: the attn mask is a sign test (<0), so
+                # a bf16 bilinear is equivalent away from the zero crossing;
+                # an f32 upcast here doubled the bandwidth of 3 mask resizes
+                # per decoder block (measured 0.87 ms/fwd at b8@640)
+                attn_mask = _attn_allowed_from_masks(m, sizes[lvl])
             output = CrossAttentionBlock(
                 self.hidden_dim, self.nheads, normalize_before=self.pre_norm, dtype=self.dtype,
                 name=f"transformer_cross_attention_layers_{i}",

@@ -36,3 +36,20 @@ def test_family_infer_contract(name, kwargs, res):
     # second call hits the per-shape jit cache (no retrace crash)
     dets2 = model.infer(img, threshold=0.0)
     assert len(dets2.detections) == len(dets.detections)
+
+@pytest.mark.parametrize("name", ["fai-mf-s-coco-ins", "bisenetformer-s-ade"])
+def test_seg_eval_masks_in_compute_dtype(name):
+    """The eval-mode full-res mask upsample is the largest write of the seg
+    eval graph; it must run in the module compute dtype (bf16 on TPU), not be
+    silently promoted to f32 (regression for the measured 2.9 ms/fwd cost)."""
+    import jax.numpy as jnp
+
+    model = ModelManager.get(name, num_classes=3, classes=["a", "b", "c"], image_size=96,
+                             num_queries=10, transformer_predictor_dec_layers=2,
+                             criterion_num_points=256, dtype="bfloat16")
+    x = np.random.rand(1, 96, 96, 3).astype(np.float32) * 255
+    out, _ = model.module.apply(model.variables, x, train=False)
+    assert out.masks.dtype == jnp.bfloat16
+    assert out.masks.shape[2:] == (96, 96)  # upsampled to input res
+    m = np.asarray(out.masks, dtype=np.float32)
+    assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
