@@ -109,8 +109,44 @@ class CSPLayer(nn.Module):
         return ConvModule(self.out_channels, 1, dtype=self.dtype, name="final_conv")(y, train)
 
 
+class _S2DFoldedConv(nn.Module):
+    """k×k conv over space-to-depth channels, executed as one 2k×2k stride-2
+    conv on the raw input.
+
+    ``conv_k(s2d(x))`` is algebraically identical to ``conv_{2k,s2}(x)`` with
+    the kernel taps scattered to the matching pixel phase: the s2d channel
+    block ``dx*2+dy`` (reference concat order tl,bl,tr,br) at tap ``(i,j)``
+    becomes raw-input tap ``(2i+dy, 2j+dx)``. The param keeps the reference
+    checkpoint shape ``[k, k, 4c, out]``; the rearrangement is a trace-time
+    reshape/transpose of the weights, so no image-sized data movement exists
+    at all. (Materializing s2d cost 3.3 ms as strided-slice gathers and
+    1.4 ms as reshape→transpose relayouts at b8@640 — 31%/17% of the rtmo
+    forward.)
+    """
+
+    features: int
+    kernel_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        k = self.kernel_size
+        c = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(), (k, k, 4 * c, self.features))
+        # (i, j, dx, dy, c, o) → (i, dy, j, dx, c, o) → [2k, 2k, c, o]
+        wr = w.reshape(k, k, 2, 2, c, self.features)
+        wr = wr.transpose(0, 3, 1, 2, 4, 5).reshape(2 * k, 2 * k, c, self.features)
+        dt = self.dtype or x.dtype
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), wr.astype(dt), window_strides=(2, 2),
+            padding=((k - 1, k - 1), (k - 1, k - 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Focus(nn.Module):
-    """Space-to-depth stem (reference :188-236)."""
+    """Space-to-depth stem (reference :188-236), folded into one conv."""
 
     out_channels: int
     kernel_size: int = 1
@@ -118,15 +154,22 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # NHWC: gather the four pixel phases, concat on channels in the
-        # reference order (tl, bl, tr, br)
-        tl = x[:, ::2, ::2]
-        tr = x[:, ::2, 1::2]
-        bl = x[:, 1::2, ::2]
-        br = x[:, 1::2, 1::2]
-        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
-        k = self.kernel_size
-        return ConvModule(self.out_channels, k, padding=(k - 1) // 2, dtype=self.dtype, name="conv")(x, train)
+        class _Block(nn.Module):
+            features: int
+            kernel_size: int
+            dtype: Optional[jnp.dtype] = None
+
+            @nn.compact
+            def __call__(self, x, train=False):
+                x = _S2DFoldedConv(self.features, self.kernel_size, dtype=self.dtype, name="conv")(x)
+                x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.97,
+                                 epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+                return nn.silu(x)
+
+        # module named "conv" with children conv/bn — the same param tree as
+        # the ConvModule this replaces, so checkpoints/conversion are
+        # unaffected
+        return _Block(self.out_channels, self.kernel_size, dtype=self.dtype, name="conv")(x, train)
 
 
 class SPPBottleneck(nn.Module):

@@ -54,8 +54,11 @@ def profile_callable(run, label):
     dur = collections.Counter()
     meta = {}
     for e in events:
+        # skip whole-program wrapper spans: "jit_<fn>" and bare numeric
+        # launch ids ("0", "1", …) wrap every fusion and would double-count
+        nm = e.get("name", "")
         if (e.get("ph") == "X" and e.get("dur") and e.get("pid") in dev_pids
-                and not e.get("name", "").startswith("jit_")):
+                and not nm.startswith("jit_") and not nm.isdigit()):
             dur[e["name"]] += e["dur"]
             if e.get("args") and e["name"] not in meta:
                 meta[e["name"]] = e["args"]
