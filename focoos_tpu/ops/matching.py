@@ -59,9 +59,14 @@ def auction_assign(cost: jnp.ndarray, valid_rows: jnp.ndarray, eps: float = 1e-2
         unassigned = (assign < 0) & valid_rows
 
         net = value - prices[None, :]  # [N, Q]
-        top2, top2i = jax.lax.top_k(net, 2)
-        best_j = top2i[:, 0]
-        incr = top2[:, 0] - top2[:, 1] + eps
+        # top-2 as max + masked max: lax.top_k lowers to a full sort on TPU
+        # (measured 2.6 ms/train-step at detr-m b16); two VPU reductions give
+        # the identical (first-argmax) result
+        best_j = jnp.argmax(net, axis=-1)
+        top1 = jnp.max(net, axis=-1)
+        col_iota = jnp.arange(q, dtype=jnp.int32)[None, :]
+        second = jnp.max(jnp.where(col_iota == best_j[:, None], NEG_INF, net), axis=-1)
+        incr = top1 - second + eps
         bid_amount = jnp.where(unassigned, prices[best_j] + incr, NEG_INF)  # [N]
 
         # dense bid matrix: row i bids bid_amount[i] on column best_j[i]
