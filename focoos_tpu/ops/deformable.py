@@ -84,6 +84,134 @@ def ms_deform_attn(
     return out.reshape(b, lq, hh * d)
 
 
+def _onehot1d(i0, t, n, axis_len_pos, cdt):
+    """2-non-zero interpolation row: (1-t) at i0, t at i0+1, 0 out of bounds.
+
+    Returns (onehot [.., n], ind0, ind1, inb0, inb1) — the indicator and
+    in-bounds masks are reused by the hand-derived backward pass.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1,) * axis_len_pos + (n,), axis_len_pos)
+    inb0 = ((i0 >= 0) & (i0 <= n - 1)).astype(jnp.float32)
+    inb1 = ((i0 + 1 >= 0) & (i0 + 1 <= n - 1)).astype(jnp.float32)
+    w0 = inb0 * (1.0 - t)
+    w1 = inb1 * t
+    i0c = jnp.clip(i0, 0, n - 1).astype(jnp.int32)
+    i1c = jnp.clip(i0 + 1, 0, n - 1).astype(jnp.int32)
+    ind0 = (iota == i0c[..., None]).astype(cdt)
+    ind1 = (iota == i1c[..., None]).astype(cdt)
+    onehot = ind0 * w0[..., None].astype(cdt) + ind1 * w1[..., None].astype(cdt)
+    return onehot, ind0, ind1, inb0, inb1
+
+
+def _level_factors(loc, aw, h, w, cdt):
+    """Per-level interpolation factors. loc [B,Lq,Hh,P,2], aw [B,Lq,Hh,P] →
+    (wy [.,h], wx_raw [.,w], wx folded with aw, tx/ty + masks for bwd)."""
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(jnp.float32)
+    ty = (y - y0).astype(jnp.float32)
+    wy, ind0y, ind1y, inb0y, inb1y = _onehot1d(y0, ty, h, 4, cdt)
+    wx_raw, ind0x, ind1x, inb0x, inb1x = _onehot1d(x0, tx, w, 4, cdt)
+    wx = wx_raw * aw[..., None]
+    masks = (ind0y, ind1y, inb0y, inb1y, ind0x, ind1x, inb0x, inb1x)
+    return wy, wx_raw, wx, masks
+
+
+def _msda_sep_fwd_impl(value, spatial_shapes, sampling_locations, attention_weights):
+    b, s, hh, d = value.shape
+    lq = sampling_locations.shape[1]
+    cdt = value.dtype
+    out = jnp.zeros((b, lq, hh, d), dtype=cdt)
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        sl = h * w
+        v_l = value[:, start : start + sl].reshape(b, h, w, hh, d)
+        start += sl
+        loc = sampling_locations[:, :, :, lid]  # [B, Lq, Hh, P, 2]
+        aw = attention_weights[:, :, :, lid].astype(cdt)  # [B, Lq, Hh, P]
+        wy, _, wx, _ = _level_factors(loc, aw, h, w, cdt)
+        # exact contractions when running in fp32 (parity), fast path in bf16
+        prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+        # fold the attention weight into the column factor and contract x
+        # (the minor spatial dim) FIRST: x is the stride-1 sub-dim of the
+        # flattened value layout [B,S,Hh,D], so the column contraction
+        # consumes the value tensor in its natural layout. Contracting y
+        # first forced a relayout of every per-level value slice — measured
+        # 41.7 → 37.8 ms/fwd (+10%) on fai-detr-l b16@640 from this swap.
+        cols = jnp.einsum("blhpx,byxhd->blhpyd", wx, v_l, precision=prec)  # [B,Lq,Hh,P,H,D]
+        out_l = jnp.einsum("blhpy,blhpyd->blhd", wy, cols, precision=prec)
+        out = out + out_l
+    return out.reshape(b, lq, hh * d)
+
+
+def _msda_sep_bwd_shared(spatial_shapes, res, ct):
+    """Hand-derived VJP sharing one [B,Hh,Lq,H,W] tensor between gradients —
+    KEPT AS A MEASURED NEGATIVE RESULT, NOT WIRED IN.
+
+    Hypothesis: autodiff materializes the wx⊗g outer product ([B,Hh,W,D,Lq,P],
+    ~786 MB at fai-detr level 0, b16@640) once per gradient (12-14 ms of the
+    78 ms train step); contracting D first (M = Σ_d v·g) and P first
+    (S = Σ_p wy·wx) halves the intermediate bytes. Measured: 120 ms/step vs
+    78 ms — the shared intermediates have contraction dims of 32 (M) and 4
+    (S), so the MXU runs at 3-25% utilization and the bhlyx layouts add
+    ~17 ms of relayouts. Autodiff's full-size outer products contract 80-wide
+    and win. Gradient parity vs autodiff is verified in tests/test_ops.py.
+    """
+    value, sampling_locations, attention_weights = res
+    b, s, hh, d = value.shape
+    lq = sampling_locations.shape[1]
+    cdt = value.dtype
+    prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+    g = ct.reshape(b, lq, hh, d).astype(cdt)
+
+    d_value = []
+    d_loc_levels = []
+    d_aw_levels = []
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        sl = h * w
+        v_l = value[:, start : start + sl].reshape(b, h, w, hh, d)
+        start += sl
+        loc = sampling_locations[:, :, :, lid]
+        aw = attention_weights[:, :, :, lid].astype(cdt)
+        wy, wx_raw, wx, masks = _level_factors(loc, aw, h, w, cdt)
+        ind0y, ind1y, inb0y, inb1y, ind0x, ind1x, inb0x, inb1x = masks
+
+        # shared dense correlation of values with the output gradient
+        M = jnp.einsum("byxhd,blhd->bhlyx", v_l, g, precision=prec)
+        d_wx = jnp.einsum("blhpy,bhlyx->blhpx", wy, M, precision=prec)
+        d_wy = jnp.einsum("blhpx,bhlyx->blhpy", wx, M, precision=prec)
+        S = jnp.einsum("blhpy,blhpx->bhlyx", wy, wx, precision=prec)
+        d_v = jnp.einsum("bhlyx,blhd->byxhd", S, g, precision=prec)
+        d_value.append(d_v.reshape(b, sl, hh, d))
+
+        # attention weight: out used wx_raw·aw
+        d_aw = jnp.einsum("blhpx,blhpx->blhp", d_wx, wx_raw, precision=prec).astype(jnp.float32)
+        d_wx_raw = d_wx * aw[..., None]
+
+        # one-hot → fractional offset: ∂(ind0·inb0·(1-t) + ind1·inb1·t)/∂t
+        d_tx = jnp.einsum(
+            "blhpx,blhpx->blhp", d_wx_raw.astype(jnp.float32),
+            (ind1x.astype(jnp.float32) * inb1x[..., None]
+             - ind0x.astype(jnp.float32) * inb0x[..., None]),
+        )
+        d_ty = jnp.einsum(
+            "blhpy,blhpy->blhp", d_wy.astype(jnp.float32),
+            (ind1y.astype(jnp.float32) * inb1y[..., None]
+             - ind0y.astype(jnp.float32) * inb0y[..., None]),
+        )
+        # x = loc_x·w - 0.5, tx = x - floor(x)
+        d_loc_levels.append(jnp.stack([d_tx * w, d_ty * h], axis=-1))
+        d_aw_levels.append(d_aw)
+
+    d_value = jnp.concatenate(d_value, axis=1).astype(value.dtype)
+    d_loc = jnp.stack(d_loc_levels, axis=3).astype(sampling_locations.dtype)
+    d_aw = jnp.stack(d_aw_levels, axis=3).astype(attention_weights.dtype)
+    return d_value, d_loc, d_aw
+
+
 def ms_deform_attn_separable(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -99,57 +227,12 @@ def ms_deform_attn_separable(
         out[q] = wy[q,:] @ V[:, :, d] @ wx[q,:]^T
 
     Construction cost is O(Lq·P·(H+W)) VPU compares (vs O(Lq·P·H·W) for a
-    flat one-hot) and both contractions run on the MXU.
+    flat one-hot) and both contractions run on the MXU. Backward is plain
+    autodiff — a hand-derived shared-intermediate VJP measured SLOWER
+    (see _msda_sep_bwd_shared).
     """
-    b, s, hh, d = value.shape
-    lq = sampling_locations.shape[1]
-    p = sampling_locations.shape[4]
-    cdt = value.dtype
-
-    out = jnp.zeros((b, lq, hh, d), dtype=cdt)
-    start = 0
-    for lid, (h, w) in enumerate(spatial_shapes):
-        sl = h * w
-        v_l = value[:, start : start + sl].reshape(b, h, w, hh, d)
-        start += sl
-        loc = sampling_locations[:, :, :, lid]  # [B, Lq, Hh, P, 2]
-        aw = attention_weights[:, :, :, lid].astype(cdt)  # [B, Lq, Hh, P]
-
-        x = loc[..., 0] * w - 0.5
-        y = loc[..., 1] * h - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        tx = (x - x0).astype(jnp.float32)
-        ty = (y - y0).astype(jnp.float32)
-
-        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, h), 4)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w), 4)
-
-        def onehot1d(i0, t, iota, n):
-            # weight vector with entries (1-t) at i0 and t at i0+1 (0 if OOB)
-            w0 = jnp.where((i0 >= 0) & (i0 <= n - 1), 1.0 - t, 0.0)
-            w1 = jnp.where((i0 + 1 >= 0) & (i0 + 1 <= n - 1), t, 0.0)
-            i0c = jnp.clip(i0, 0, n - 1).astype(jnp.int32)
-            i1c = jnp.clip(i0 + 1, 0, n - 1).astype(jnp.int32)
-            hit0 = (iota == i0c[..., None]).astype(cdt) * w0[..., None].astype(cdt)
-            hit1 = (iota == i1c[..., None]).astype(cdt) * w1[..., None].astype(cdt)
-            return hit0 + hit1  # [B, Lq, Hh, P, n]
-
-        wy = onehot1d(y0, ty, iota_h, h)
-        wx = onehot1d(x0, tx, iota_w, w)
-        # exact contractions when running in fp32 (parity), fast path in bf16
-        prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
-        # fold the attention weight into the column factor and contract x
-        # (the minor spatial dim) FIRST: x is the stride-1 sub-dim of the
-        # flattened value layout [B,S,Hh,D], so the column contraction
-        # consumes the value tensor in its natural layout. Contracting y
-        # first forced a relayout of every per-level value slice — measured
-        # 41.7 → 37.8 ms/fwd (+10%) on fai-detr-l b16@640 from this swap.
-        wx = wx * aw[..., None]
-        cols = jnp.einsum("blhpx,byxhd->blhpyd", wx, v_l, precision=prec)  # [B,Lq,Hh,P,H,D]
-        out_l = jnp.einsum("blhpy,blhpyd->blhd", wy, cols, precision=prec)
-        out = out + out_l
-    return out.reshape(b, lq, hh * d)
+    return _msda_sep_fwd_impl(value, tuple((int(h), int(w)) for h, w in spatial_shapes),
+                              sampling_locations, attention_weights)
 
 
 def ms_deform_attn_matmul(

@@ -200,3 +200,31 @@ def test_pallas_nms_interpret_matches_xla_loop():
         want = np.asarray(nms_keep(boxes, scores, thr))
         got = np.asarray(nms_keep_pallas(boxes, scores, thr, interpret=True))
         np.testing.assert_array_equal(got, want)
+
+
+def test_msda_shared_bwd_matches_autodiff():
+    """The hand-derived shared-intermediate MSDA backward
+    (ops/deformable.py::_msda_sep_bwd_shared — kept as a measured negative
+    result, not wired in) stays gradient-correct vs autodiff, including
+    out-of-bounds samples."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.ops.deformable import _msda_sep_bwd_shared, _msda_sep_fwd_impl
+
+    rng = np.random.default_rng(0)
+    B, L, H, D, P = 2, 7, 3, 8, 4
+    ss = ((9, 11), (5, 6))
+    S = sum(h * w for h, w in ss)
+    v = jnp.asarray(rng.random((B, S, H, D), np.float32) - 0.5)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (B, L, H, len(ss), P, 2)).astype(np.float32))
+    aw = jnp.asarray(rng.random((B, L, H, len(ss), P), np.float32))
+
+    out, vjp = jax.vjp(lambda v, l, a: _msda_sep_fwd_impl(v, ss, l, a), v, loc, aw)
+    ct = jnp.asarray(rng.random(out.shape, np.float32) - 0.5)
+    g_auto = vjp(ct)
+    g_shared = _msda_sep_bwd_shared(ss, (v, loc, aw), ct)
+    for a, b in zip(g_shared, g_auto):
+        d = float(jnp.max(jnp.abs(a - b)))
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert d / scale < 1e-5
