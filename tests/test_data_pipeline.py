@@ -188,3 +188,70 @@ def test_transform_box_coords_consistency():
     # rotated white square must sit inside the transformed box (±1 px)
     assert xs.min() >= rb[0] - 1 and xs.max() <= rb[2] + 1
     assert ys.min() >= rb[1] - 1 and ys.max() <= rb[3] + 1
+
+
+def test_supervisely_to_coco_and_masks(tmp_path):
+    """Converters: Supervisely → COCO json and class-index PNG masks
+    (reference: focoos/data/converters.py)."""
+    import json
+
+    import cv2
+
+    from focoos_tpu.data.converters import supervisely_to_coco, supervisely_to_semseg_masks
+
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    ann = {
+        "size": {"height": 40, "width": 60},
+        "objects": [
+            {"classTitle": "cat", "geometryType": "rectangle",
+             "points": {"exterior": [[10, 5], [30, 25]]}},
+            {"classTitle": "dog", "geometryType": "polygon",
+             "points": {"exterior": [[0, 0], [20, 0], [20, 20], [0, 20]]}},
+        ],
+    }
+    (ann_dir / "im1.jpg.json").write_text(json.dumps(ann))
+
+    out_json = str(tmp_path / "coco.json")
+    supervisely_to_coco(str(ann_dir), str(tmp_path), out_json)
+    coco = json.loads(open(out_json).read())
+    assert len(coco["images"]) == 1 and coco["images"][0]["height"] == 40
+    assert len(coco["annotations"]) == 2
+    rect = coco["annotations"][0]
+    assert rect["bbox"] == [10, 5, 20, 20]
+    assert {c["name"] for c in coco["categories"]} == {"cat", "dog"}
+
+    mask_dir = str(tmp_path / "masks")
+    supervisely_to_semseg_masks(str(ann_dir), mask_dir, ["cat", "dog"])
+    m = cv2.imread(mask_dir + "/im1_mask.png", cv2.IMREAD_GRAYSCALE)
+    assert m.shape == (40, 60)
+    assert m[10, 10] == 1  # inside the dog polygon
+    assert m[35, 55] == 255  # untouched → ignore value
+
+
+def test_resize_dataset_rescales_annotations(tmp_path):
+    import json
+
+    import cv2
+
+    from focoos_tpu.data.converters import resize_dataset
+
+    src = tmp_path / "src" / "train"
+    src.mkdir(parents=True)
+    img = np.zeros((100, 200, 3), np.uint8)
+    cv2.imwrite(str(src / "a.jpg"), img)
+    coco = {
+        "images": [{"id": 0, "file_name": "a.jpg", "height": 100, "width": 200}],
+        "annotations": [{"id": 1, "image_id": 0, "category_id": 0,
+                         "bbox": [20, 10, 40, 30], "area": 1200, "segmentation": []}],
+        "categories": [{"id": 0, "name": "c"}],
+    }
+    (src / "_annotations.coco.json").write_text(json.dumps(coco))
+
+    dst = str(tmp_path / "dst")
+    resize_dataset(str(tmp_path / "src"), dst, max_size=100)
+    out = json.loads(open(dst + "/train/_annotations.coco.json").read())
+    assert out["images"][0]["width"] == 100 and out["images"][0]["height"] == 50
+    assert out["annotations"][0]["bbox"] == [10.0, 5.0, 20.0, 15.0]
+    im = cv2.imread(dst + "/train/a.jpg")
+    assert im.shape[:2] == (50, 100)

@@ -128,3 +128,38 @@ def test_remote_model_notebook_monitor_polls_to_terminal(monkeypatch):
     monkeypatch.setattr(_t, "sleep", lambda s: None)
     info = rm.notebook_monitor_train(interval=0)
     assert info["status"] == "TRAINING_COMPLETED"
+
+
+def test_remote_dataset_roundtrip(tmp_path, monkeypatch):
+    """RemoteDataset info/download/upload/delete against a mocked ApiClient
+    (reference model: tests/test_remote_dataset.py)."""
+    from focoos_tpu.hub.remote_dataset import RemoteDataset
+
+    api = ApiClient(api_key="k")
+    ds = RemoteDataset("my-ds", api)
+
+    monkeypatch.setattr(api, "get", lambda path, **kw: FakeResponse(
+        {"ref": "my-ds", "download_uri": "https://example.com/d.zip"}))
+    assert ds.get_info()["ref"] == "my-ds"
+
+    grabbed = {}
+
+    def fake_download(url, out_dir, **kw):
+        grabbed["url"] = url
+        return str(tmp_path / "d.zip")
+
+    monkeypatch.setattr(api, "download_ext_file", fake_download)
+    out = ds.download_data(out_dir=str(tmp_path))
+    assert out.endswith("d.zip") and grabbed["url"] == "https://example.com/d.zip"
+
+    monkeypatch.setattr(api, "upload_file", lambda path, fp, **kw: FakeResponse({"ok": True}))
+    zp = tmp_path / "up.zip"
+    zp.write_bytes(b"zip")
+    assert ds.upload_data(str(zp))["ok"] is True
+
+    monkeypatch.setattr(api, "delete", lambda path, **kw: FakeResponse({}, 200))
+    ds.delete_data()  # no raise
+
+    monkeypatch.setattr(api, "delete", lambda path, **kw: FakeResponse({}, 500))
+    with pytest.raises(RuntimeError):
+        ds.delete_data()

@@ -228,3 +228,26 @@ def test_msda_shared_bwd_matches_autodiff():
         d = float(jnp.max(jnp.abs(a - b)))
         scale = float(jnp.max(jnp.abs(b))) + 1e-9
         assert d / scale < 1e-5
+
+
+def test_pallas_msda_interpret_matches_gather():
+    """Interpret-mode parity of the fused Pallas MSDA kernel (kept as a
+    documented negative perf result — see docs/tpu_design.md) against the
+    gather reference formulation."""
+    import jax.numpy as jnp
+
+    from focoos_tpu.ops.deformable import ms_deform_attn
+    from focoos_tpu.ops.pallas.msda import msda_pallas
+
+    rng = np.random.default_rng(1)
+    B, L, H, D, P = 1, 12, 2, 8, 4
+    ss = ((8, 8), (4, 4))
+    S = sum(h * w for h, w in ss)
+    v = jnp.asarray(rng.random((B, S, H, D), np.float32) - 0.5)
+    loc = jnp.asarray(rng.uniform(0.05, 0.95, (B, L, H, len(ss), P, 2)).astype(np.float32))
+    aw = jnp.asarray(rng.random((B, L, H, len(ss), P), np.float32))
+
+    ref = np.asarray(ms_deform_attn(v, ss, loc, aw))
+    got = np.asarray(msda_pallas(v, ss, loc, aw, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

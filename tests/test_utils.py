@@ -86,3 +86,70 @@ def test_cli_aug_flags_override_defaults():
     assert val_augs.square == 1.0
     assert val_augs.horizontal_flip != 0.9  # val pipeline untouched by --aug-*
     assert train_augs.resolution == 320
+
+
+def test_timer_pause_resume_and_took(caplog):
+    import time as _time
+
+    from focoos_tpu.utils.timer import Timer, took
+
+    t = Timer()
+    _time.sleep(0.02)
+    t.pause()
+    frozen = t.seconds()
+    _time.sleep(0.02)
+    assert abs(t.seconds() - frozen) < 1e-6  # paused: no accumulation
+    t.resume()
+    _time.sleep(0.01)
+    assert t.seconds() > frozen
+
+    with Timer() as ct:
+        _time.sleep(0.01)
+    assert ct.elapsed >= 0.005
+
+    @took
+    def add(a, b):
+        return a + b
+
+    assert add(2, 3) == 5
+
+
+def test_retry_if_oom_retries_then_succeeds():
+    from focoos_tpu.utils.memory import retry_if_oom
+
+    calls = {"n": 0}
+
+    @retry_if_oom
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory allocating")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert calls["n"] == 2
+
+    @retry_if_oom
+    def broken():
+        raise ValueError("not an oom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        broken()
+
+
+def test_system_info_and_seed():
+    from focoos_tpu.utils.system import get_system_info, seed_all_rng
+
+    info = get_system_info()
+    assert info.jax_version and info.packages.get("numpy")
+    assert isinstance(info.devices, list)
+
+    s = seed_all_rng(123)
+    a = np.random.rand(3)
+    seed_all_rng(123)
+    b = np.random.rand(3)
+    assert s == 123 and np.allclose(a, b)
+    auto = seed_all_rng(None)
+    assert isinstance(auto, int)
