@@ -163,11 +163,23 @@ def main():
 
     workloads = {}
 
-    # 1. detection — the headline
+    # 1. detection — the headline (b16 is the measured throughput peak;
+    # b32 regresses to 371 img/s)
     det = bench_forward("fai-detr-l-coco", 640, [1, 4, 16] if on_tpu else [1], iters, dtype)
     best_ips = max((v for k, v in det.items() if k.endswith("_ips")), default=0.0)
     p50_b1 = det.get("b1_ms")
     workloads["detection_fai-detr-l"] = {**det, "vs_baseline": round(best_ips / BASELINE_FPS_DETR_L, 3)}
+
+    if on_tpu:
+        # 1b. detr-m — the reference's fastest published detector (181 FPS T4,
+        # docs/models/index.md:27)
+        try:
+            detm = bench_forward("fai-detr-m-coco", 640, [1, 16], iters, dtype)
+            mips = max((v for k, v in detm.items() if k.endswith("_ips")), default=0.0)
+            detm["vs_baseline"] = round(mips / 181.0, 3)
+        except Exception as e:
+            detm = {"error": str(e)[:200]}
+        workloads["detection_fai-detr-m"] = detm
 
     if on_tpu:
         # 2. classification @224
