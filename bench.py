@@ -182,8 +182,8 @@ def main():
         workloads["detection_fai-detr-m"] = detm
 
     if on_tpu:
-        # 2. classification @224
-        cls = bench_forward("fai-cls-m-coco", 224, [1, 64], iters, dtype)
+        # 2. classification @224 (b128 peak: 44k vs 25k img/s at b64)
+        cls = bench_forward("fai-cls-m-coco", 224, [1, 128], iters, dtype)
         workloads["classification_fai-cls-m"] = cls
 
         # 3. bisenetformer semseg @640 with on-device per-pixel argmax
@@ -226,9 +226,10 @@ def main():
         # 6. rtmo keypoints @640 (full on-device decode incl. Pallas NMS);
         # published baseline: rtmo-s-coco 104 FPS T4-TRT (docs/models/index.md:50)
         try:
-            kpt = bench_forward("rtmo-s-coco", 640, [1, 8], iters, dtype)
-            b8 = kpt.get("b8_ips") or kpt.get("b1_ips") or 0
-            kpt["vs_baseline"] = round(b8 / 104.0, 3)
+            # b16 peak: 799 vs 688 img/s at b8
+            kpt = bench_forward("rtmo-s-coco", 640, [1, 16], iters, dtype)
+            best = max((v for k, v in kpt.items() if k.endswith("_ips")), default=0)
+            kpt["vs_baseline"] = round(best / 104.0, 3)
         except Exception as e:
             kpt = {"error": str(e)[:200]}
         workloads["keypoint_rtmo-s"] = kpt
