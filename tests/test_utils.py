@@ -153,3 +153,25 @@ def test_system_info_and_seed():
     assert s == 123 and np.allclose(a, b)
     auto = seed_all_rng(None)
     assert isinstance(auto, int)
+
+
+def test_gradio_app_degrades_without_gradio(monkeypatch):
+    """`launch` must raise a clear RuntimeError when gradio isn't installed
+    (it's an optional dep in this environment), not an ImportError mid-UI."""
+    import builtins
+
+    import pytest as _pytest
+
+    from focoos_tpu.cli import gradio_app
+
+    real_import = builtins.__import__
+
+    def no_gradio(name, *a, **k):
+        if name == "gradio" or name.startswith("gradio."):
+            raise ImportError("No module named 'gradio'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_gradio)
+    with _pytest.raises((RuntimeError, ImportError)) as ei:
+        gradio_app.launch("fai-cls-n-coco")
+    assert "gradio" in str(ei.value).lower()
