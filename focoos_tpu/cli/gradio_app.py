@@ -7,6 +7,7 @@ images); the CLI surfaces a clear error when missing.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from focoos_tpu.utils.logger import get_logger
@@ -85,7 +86,10 @@ def launch(model_name: Optional[str] = None, image_size: Optional[int] = None, s
         model = _get_model(name, image_size)
         cap = cv2.VideoCapture(video_path)
         fps = cap.get(cv2.CAP_PROP_FPS) or 25
-        out_path = tempfile.mktemp(suffix=".mp4")
+        # mkstemp (not the racy deprecated mktemp): create + close the fd,
+        # then hand the now-owned path to cv2.VideoWriter
+        fd, out_path = tempfile.mkstemp(suffix=".mp4")
+        os.close(fd)
         writer = None
         n = 0
         while n < max_frames:

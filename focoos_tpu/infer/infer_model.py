@@ -50,7 +50,10 @@ class InferModel:
                     f"{artifact} missing — export with RuntimeType.STABLEHLO first "
                     f"(extension↔runtime validation, reference infer_model.py:96)"
                 )
-            self.runtime = load_runtime(runtime_type, artifact_path=artifact, output_names=output_names)
+            self.runtime = load_runtime(
+                runtime_type, artifact_path=artifact, output_names=output_names,
+                allow_resize_dispatch=self.processor.resize_dispatch_safe,
+            )
         elif runtime_type == RuntimeType.XLA_TPU_INT8:
             artifact = os.path.join(model_dir, ArtifactName.WEIGHTS_INT8.value)
             if not os.path.isfile(artifact):

@@ -101,7 +101,17 @@ class Quantizer:
         return path
 
     def _calibrate(self, out_dir: str, images_dir: str, size: int) -> None:
-        """Record activation absmax over calibration images (MinMax calib)."""
+        """Record per-QDQ-layer input absmax over calibration images (MinMax
+        calibration, reference CalibrationDataReader analog,
+        focoos/infer/quantizer.py:51-124). Each ``_Int8QDQConv`` sows its
+        input absmax into the ``int8_calib`` collection during a forward in
+        ``int8_calibration_mode``; the per-layer max over all images is saved
+        to ``calibration.npz`` keyed by module path. Int8XLARuntime loads it
+        as static activation scales (no runtime requant reduce)."""
+        import jax.numpy as jnp
+
+        from focoos_tpu.nn.layers import common as nn_common
+        from focoos_tpu.utils.checkpoint import flatten_tree
         from focoos_tpu.utils.vision import image_loader
 
         files = [
@@ -111,20 +121,23 @@ class Quantizer:
         ][:32]
         if not files:
             return
-        stats = {"input_absmax": 0.0, "output_absmax": {}}
+        absmax: Dict[str, float] = {}
+        module, variables = self.model.module, self.model.variables
         for f in files:
             img = image_loader(f)
             batch, _ = self.model.processor.preprocess([img])
-            out = self.model.forward(batch)
-            for name in self.model.processor.get_output_names():
-                arr = np.asarray(getattr(out, name))
-                stats["output_absmax"][name] = max(
-                    stats["output_absmax"].get(name, 0.0), float(np.abs(arr).max())
+            with nn_common.int8_calibration_mode():
+                _, mut = module.apply(
+                    variables, jnp.asarray(batch), train=False, mutable=["int8_calib"]
                 )
-        np.savez(os.path.join(out_dir, "calibration.npz"), **{
-            f"out_{k}": v for k, v in stats["output_absmax"].items()
-        })
-        logger.info(f"Calibration over {len(files)} images complete")
+            for k, v in flatten_tree(mut.get("int8_calib", {})).items():
+                key = k[: -len("/absmax")] if k.endswith("/absmax") else k
+                absmax[key] = max(absmax.get(key, 0.0), float(np.asarray(v).max()))
+        if absmax:
+            np.savez(os.path.join(out_dir, "calibration.npz"), **absmax)
+        logger.info(
+            f"Calibrated {len(absmax)} activation ranges over {len(files)} images"
+        )
 
     @staticmethod
     def load_quantized(model, path: str) -> None:

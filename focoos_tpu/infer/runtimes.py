@@ -203,7 +203,8 @@ class Int8XLARuntime(BaseRuntime):
     happens inside the jitted forward where XLA fuses it into consumers.
     """
 
-    def __init__(self, module, flat_store: Dict[str, np.ndarray], output_names: List[str]):
+    def __init__(self, module, flat_store: Dict[str, np.ndarray], output_names: List[str],
+                 act_scales: Optional[Dict[str, float]] = None):
         import jax.numpy as jnp
 
         _enable_compile_cache()
@@ -211,6 +212,9 @@ class Int8XLARuntime(BaseRuntime):
         self.output_names = output_names
         # device-resident flat store; int8 leaves stay int8
         self._store = {k: jnp.asarray(v) for k, v in flat_store.items()}
+        # calibrated static per-layer activation scales (module path → scale);
+        # None → each QDQ conv falls back to a dynamic per-tensor absmax
+        self._act_scales = act_scales
         self._fns: Dict[Tuple, Callable] = {}
 
     def _fn(self, shape: Tuple) -> Callable:
@@ -222,6 +226,7 @@ class Int8XLARuntime(BaseRuntime):
             from focoos_tpu.utils.checkpoint import unflatten_tree
 
             module = self.module
+            act_scales = self._act_scales
 
             @jax.jit
             def fwd(store, images):
@@ -235,13 +240,10 @@ class Int8XLARuntime(BaseRuntime):
                 # the fn body runs at trace time, so this flips every ConvNorm
                 # in the traced graph onto the int8 QDQ path (and the weight
                 # requantization there is exact: the store already holds
-                # int8-rounded values)
-                old = nn_common.INT8_QDQ
-                nn_common.INT8_QDQ = True
-                try:
+                # int8-rounded values). Context-scoped so concurrent traces of
+                # other models never see it (ADVICE r2 low).
+                with nn_common.int8_qdq_mode(act_scales=act_scales):
                     out, _ = module.apply(variables, images, train=False)
-                finally:
-                    nn_common.INT8_QDQ = old
                 return out
 
             self._fns[shape] = fwd
@@ -271,12 +273,8 @@ class Int8XLARuntime(BaseRuntime):
                 elif not k.endswith("@scale"):
                     flat[k] = v
             variables = unflatten_tree(flat)
-            old = nn_common.INT8_QDQ
-            nn_common.INT8_QDQ = True
-            try:
+            with nn_common.int8_qdq_mode(act_scales=self._act_scales):
                 return module.apply(variables, images, train=False)[0]
-            finally:
-                nn_common.INT8_QDQ = old
 
         return fwd
 
@@ -291,7 +289,8 @@ class StableHLORuntime(BaseRuntime):
     the ONNX dynamic-axes analog (reference: fai_detr/processor.py:242-251;
     same squash-resize semantics as Processor.get_batch)."""
 
-    def __init__(self, artifact_path: str, output_names: List[str]):
+    def __init__(self, artifact_path: str, output_names: List[str],
+                 allow_resize_dispatch: bool = True):
         import glob
         import re
 
@@ -311,6 +310,10 @@ class StableHLORuntime(BaseRuntime):
                 prog = load(p)
                 self._programs[self._hw(prog)] = prog
         self.output_names = output_names
+        # False for pixel-frame-output models (RTMO): the program would return
+        # coordinates in the bucket's frame while the processor rescales from
+        # its own configured size → require an exact-shape program match
+        self._allow_resize = allow_resize_dispatch
         # each serialized program has a fixed batch; larger inputs are chunked
         try:
             self._batch = int(self._exported.in_avals[0].shape[0])
@@ -325,6 +328,12 @@ class StableHLORuntime(BaseRuntime):
     def _pick_program(self, h: int, w: int):
         if (h, w) in self._programs:
             return self._programs[(h, w)], False
+        if not self._allow_resize:
+            raise ValueError(
+                f"no exported program for input {h}x{w} and this model's outputs "
+                f"are pixel-frame (resize dispatch unsafe); available: "
+                f"{sorted(self._programs)} — export a matching size bucket"
+            )
         area = h * w
         best = min(self._programs, key=lambda hw: abs(hw[0] * hw[1] - area))
         return self._programs[best], True
@@ -372,6 +381,21 @@ class StableHLORuntime(BaseRuntime):
             return super()._benchmark_input(size)
 
 
+def load_calibration_scales(artifact_dir: str) -> Optional[Dict[str, float]]:
+    """Load calibrated per-layer activation scales written by
+    ``Quantizer.calibrate`` (calibration.npz: module path → input absmax).
+    Returns path → scale (absmax/127), or None when no calibration exists —
+    the reference's static-MinMax vs dynamic distinction
+    (focoos/infer/quantizer.py:51-124)."""
+    path = os.path.join(artifact_dir, "calibration.npz")
+    if not os.path.isfile(path):
+        return None
+    with np.load(path) as data:
+        scales = {k: float(data[k]) / 127.0 for k in data.files}
+    logger.info(f"Loaded {len(scales)} calibrated activation scales from {path}")
+    return scales or None
+
+
 def load_runtime(
     runtime_type: RuntimeType,
     *,
@@ -380,6 +404,7 @@ def load_runtime(
     artifact_path: Optional[str] = None,
     output_names: List[str],
     data_parallel: bool = False,
+    allow_resize_dispatch: bool = True,
 ) -> BaseRuntime:
     """RuntimeType → runtime factory (reference: infer/runtimes/load_runtime.py:25)."""
     if runtime_type in (RuntimeType.XLA_TPU_BF16, RuntimeType.XLA_TPU_FP32, RuntimeType.XLA_CPU):
@@ -389,8 +414,9 @@ def load_runtime(
         assert module is not None and artifact_path is not None
         with np.load(artifact_path) as data:
             store = {k: data[k] for k in data.files}
-        return Int8XLARuntime(module, store, output_names)
+        act_scales = load_calibration_scales(os.path.dirname(artifact_path))
+        return Int8XLARuntime(module, store, output_names, act_scales=act_scales)
     if runtime_type == RuntimeType.STABLEHLO:
         assert artifact_path is not None
-        return StableHLORuntime(artifact_path, output_names)
+        return StableHLORuntime(artifact_path, output_names, allow_resize_dispatch=allow_resize_dispatch)
     raise ValueError(f"Unsupported runtime type: {runtime_type}")

@@ -18,6 +18,10 @@ from focoos_tpu.structures import Boxes, ImageList, Instances
 
 
 class RTMOProcessor(Processor):
+    # boxes/keypoints come back in the *program's* pixel frame, so a
+    # nearest-bucket squash-resize at dispatch would break coordinate scaling
+    resize_dispatch_safe = False
+
     def __init__(self, config: RTMOConfig, image_size: Optional[Union[int, Tuple[int, int]]] = None):
         super().__init__(config, image_size)
         self.threshold = config.score_thr

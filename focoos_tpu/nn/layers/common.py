@@ -10,6 +10,8 @@ focoos/trainer/trainer.py:334).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Any, Callable, Optional, Sequence
 
 import jax.numpy as jnp
@@ -45,11 +47,64 @@ def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
 # freezes every BatchNorm in the compiled graph.
 FREEZE_ALL_BN = False
 
-# Trace-time global set by Int8XLARuntime: every ConvNorm executes as an
-# int8 QDQ conv (per-out-channel weight scales, dynamic per-tensor activation
-# scale, s8xs8→s32 on the MXU) — the XLA-native analog of the reference's
-# ONNX quantize_static QDQ graphs (focoos/infer/quantizer.py:200-209).
-INT8_QDQ = False
+# Trace-time int8 mode, entered by Int8XLARuntime around its traces: every
+# ConvNorm executes as an int8 QDQ conv (per-out-channel weight scales,
+# s8xs8→s32 on the MXU) — the XLA-native analog of the reference's ONNX
+# quantize_static QDQ graphs (focoos/infer/quantizer.py:200-209).
+# A ContextVar (not a module global) so a concurrent trace of another model
+# in a different thread/context never picks up the int8 path by accident
+# (ADVICE r2 low). ``_INT8_ACT_SCALES`` optionally carries calibrated static
+# per-layer activation scales keyed by the flax module path; when absent the
+# QDQ conv falls back to a dynamic per-tensor absmax.
+_INT8_QDQ: "contextvars.ContextVar[bool]" = contextvars.ContextVar("focoos_int8_qdq", default=False)
+_INT8_ACT_SCALES: "contextvars.ContextVar[Optional[dict]]" = contextvars.ContextVar(
+    "focoos_int8_act_scales", default=None
+)
+
+
+def int8_qdq_enabled() -> bool:
+    return _INT8_QDQ.get()
+
+
+def int8_act_scales() -> Optional[dict]:
+    return _INT8_ACT_SCALES.get()
+
+
+@contextlib.contextmanager
+def int8_qdq_mode(enabled: bool = True, act_scales: Optional[dict] = None):
+    """Enter int8 QDQ tracing mode (optionally with calibrated activation
+    scales). Nesting-safe and thread-safe via contextvars tokens."""
+    t1 = _INT8_QDQ.set(enabled)
+    t2 = _INT8_ACT_SCALES.set(act_scales)
+    try:
+        yield
+    finally:
+        _INT8_ACT_SCALES.reset(t2)
+        _INT8_QDQ.reset(t1)
+
+
+# Calibration pass: each _Int8QDQConv sows its input absmax into the
+# ``int8_calib`` collection (apply with mutable=["int8_calib"]) — the analog
+# of the reference's MinMax CalibrationDataReader feeding quantize_static
+# (focoos/infer/quantizer.py:51-124).
+_INT8_CALIBRATE: "contextvars.ContextVar[bool]" = contextvars.ContextVar(
+    "focoos_int8_calibrate", default=False
+)
+
+
+def int8_calibrating() -> bool:
+    return _INT8_CALIBRATE.get()
+
+
+@contextlib.contextmanager
+def int8_calibration_mode():
+    t1 = _INT8_QDQ.set(True)
+    t2 = _INT8_CALIBRATE.set(True)
+    try:
+        yield
+    finally:
+        _INT8_CALIBRATE.reset(t2)
+        _INT8_QDQ.reset(t1)
 
 
 def bn_use_running(train: bool) -> bool:
@@ -132,7 +187,7 @@ class ConvNorm(nn.Module):
         pad = (k - 1) // 2 * self.dilation if self.padding is None else self.padding
         if self.s2d and k == 3 and self.stride == 2 and not self.bias and self.groups == 1:
             x = _S2DConv3x3s2(self.ch_out, dtype=self.dtype, name="conv")(x)
-        elif INT8_QDQ and not train:
+        elif int8_qdq_enabled() and not train:
             x = _Int8QDQConv(
                 features=self.ch_out,
                 kernel_size=k,
@@ -407,9 +462,13 @@ class _Int8QDQConv(nn.Module):
     (kernel [kh, kw, in/groups, out] under this module's scope, so
     checkpoints are interchangeable with the float path).
 
-    Per-out-channel symmetric weight scales; dynamic per-tensor activation
-    scale (absmax/127); s8×s8→s32 conv on the MXU; dequant fused into the
-    following norm/act by XLA. When the incoming kernel was already
+    Per-out-channel symmetric weight scales; per-tensor activation scale —
+    **static** when a calibrated absmax for this layer's path is present in
+    ``int8_act_scales()`` (reference MinMax quantize_static analog, which
+    never pays a runtime reduce), else **dynamic** absmax/127 as fallback;
+    s8×s8→s32 conv on the MXU; dequant fused into the following norm/act by
+    XLA. Under ``int8_calibration_mode`` the input absmax is sown into the
+    ``int8_calib`` collection. When the incoming kernel was already
     round-tripped through int8 (Int8XLARuntime's weight store), the in-graph
     requantization is exact. v5e measured: ~1.2× over bf16 per conv at
     res3-like shapes (see docs/tpu_design.md)."""
@@ -440,7 +499,20 @@ class _Int8QDQConv(nn.Module):
         sw = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True) / 127.0
         sw = jnp.maximum(sw, 1e-12)
         wq = jnp.round(w / sw).astype(jnp.int8)
-        sx = jnp.max(jnp.abs(x.astype(f32))) / 127.0
+        if int8_calibrating():
+            self.sow(
+                "int8_calib",
+                "absmax",
+                jnp.max(jnp.abs(x.astype(f32))),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.asarray(0.0, f32),
+            )
+        calib = int8_act_scales()
+        path_key = "/".join(self.path)
+        if calib is not None and path_key in calib:
+            sx = jnp.asarray(calib[path_key], f32)
+        else:
+            sx = jnp.max(jnp.abs(x.astype(f32))) / 127.0
         sx = jnp.maximum(sx, 1e-12)
         xq = jnp.clip(jnp.round(x.astype(f32) / sx), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(

@@ -83,9 +83,29 @@ def synchronize() -> None:
 
 def all_gather_objects(obj: Any) -> list:
     """Gather arbitrary picklable objects from every host
-    (analog of comm.all_gather, focoos/utils/distributed/comm.py:139)."""
+    (analog of comm.all_gather, focoos/utils/distributed/comm.py:139).
+
+    ``process_allgather`` requires identical pytree structure and leaf shapes
+    on every process, but evaluator states are ragged (per-host lists of
+    variable-shape arrays). So: pickle to bytes, allgather the byte lengths,
+    pad every host's buffer to the global max, allgather one fixed-shape
+    uint8 array, then truncate + unpickle per host — the same
+    pad-to-max-then-trim trick the reference plays with NCCL tensors
+    (focoos/utils/distributed/comm.py:139-163).
+    """
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+    buf = np.frombuffer(pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL), dtype=np.uint8)
+    lengths = np.asarray(
+        multihost_utils.process_allgather(np.int64(buf.size), tiled=False)
+    ).reshape(-1)
+    max_len = int(lengths.max())
+    padded = np.zeros(max_len, dtype=np.uint8)
+    padded[: buf.size] = buf
+    gathered = np.asarray(multihost_utils.process_allgather(padded, tiled=False))
+    gathered = gathered.reshape(len(lengths), max_len)
+    return [pickle.loads(gathered[i, : int(lengths[i])].tobytes()) for i in range(len(lengths))]

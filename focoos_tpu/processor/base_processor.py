@@ -36,6 +36,14 @@ def _to_numpy_rgb(img) -> np.ndarray:
 class Processor:
     """Abstract family processor (reference: focoos/processor/base_processor.py:55)."""
 
+    # True when export outputs are resolution-independent (normalized [0,1]
+    # coords like DETR boxes, or masks whose postprocess reads the actual
+    # array shape) — only then may a serialized-program runtime squash-resize
+    # an odd-size input to the nearest shape bucket. Pixel-frame outputs
+    # (RTMO boxes/keypoints) set this False and require an exact-shape
+    # program match (ADVICE r2 low).
+    resize_dispatch_safe: bool = True
+
     def __init__(self, config: ModelConfig, image_size: Optional[Union[int, Tuple[int, int]]] = None):
         self.config = config
         self.image_size = image_size
@@ -63,9 +71,16 @@ class Processor:
         inputs,
         target_size: Optional[Tuple[int, int]] = None,
     ) -> np.ndarray:
-        """Images → NHWC uint8 batch, squash-resized to ``target_size``
-        (reference: base_processor.py:223 get_torch_batch — which also
-        squash-resizes via F.interpolate)."""
+        """Images → NHWC batch, squash-resized to ``target_size``
+        (reference: base_processor.py:223 get_torch_batch).
+
+        Inputs already at target size pass through as uint8 (cast to float
+        happens on device — the serving fast path). Inputs that need resizing
+        are resized in **float32** with bilinear half-pixel sampling, exactly
+        like the reference's ``F.interpolate(..., mode="bilinear",
+        align_corners=False)`` on the dtype-converted tensor — so the model
+        sees the same non-integer pixel values as the torch pipeline (e2e
+        parity; a uint8-rounded resize costs ~0.2% input noise)."""
         import cv2
 
         if not isinstance(inputs, (list, tuple)):
@@ -79,14 +94,18 @@ class Processor:
         imgs = [_to_numpy_rgb(im) for im in imgs]
         if target_size is not None:
             th, tw = target_size
+            if all(im.shape[:2] == (th, tw) for im in imgs):
+                return np.stack(imgs).astype(np.uint8)
             imgs = [
-                im if im.shape[:2] == (th, tw) else cv2.resize(im, (tw, th), interpolation=cv2.INTER_LINEAR)
+                im.astype(np.float32)
+                if im.shape[:2] == (th, tw)
+                else cv2.resize(im.astype(np.float32), (tw, th), interpolation=cv2.INTER_LINEAR)
                 for im in imgs
             ]
-        else:
-            h = max(im.shape[0] for im in imgs)
-            w = max(im.shape[1] for im in imgs)
-            imgs = [np.pad(im, ((0, h - im.shape[0]), (0, w - im.shape[1]), (0, 0))) for im in imgs]
+            return np.stack(imgs)
+        h = max(im.shape[0] for im in imgs)
+        w = max(im.shape[1] for im in imgs)
+        imgs = [np.pad(im, ((0, h - im.shape[0]), (0, w - im.shape[1]), (0, 0))) for im in imgs]
         return np.stack(imgs).astype(np.uint8)
 
     def _target_size(self) -> Optional[Tuple[int, int]]:

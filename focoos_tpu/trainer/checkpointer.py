@@ -111,9 +111,16 @@ class PeriodicCheckpointerMixin:
         # — with multi-step dispatch (steps_per_call=K) the loop advances K
         # optimizer iterations per host call, so strict modulo checks can skip
         # the boundary (ADVICE r1 medium).
+        # the state passed in reflects ALL ``stride`` completed optimizer steps
+        # (iterations iteration..iteration+stride-1), so both the filename and
+        # the saved iteration field must record the LAST completed iteration —
+        # otherwise resume (start_iter = saved+1) would replay stride-1 steps
+        # that are already baked into the weights and desync the LR schedule
+        # (ADVICE r2 medium).
+        last = iteration + stride - 1
         if self.period > 0 and (iteration + stride) // self.period > iteration // self.period:
-            name = f"model_{iteration:07d}"
-            self.checkpointer.save(name, state, iteration=iteration, **extra)
+            name = f"model_{last:07d}"
+            self.checkpointer.save(name, state, iteration=last, **extra)
             self._recent.append(name)
             while len(self._recent) > self.max_to_keep:
                 old = self._recent.pop(0)
@@ -124,4 +131,4 @@ class PeriodicCheckpointerMixin:
                     if os.path.isfile(extra_f):
                         os.remove(extra_f)
         if iteration + stride >= self.max_iter:
-            self.checkpointer.save("model_final", state, iteration=iteration, **extra)
+            self.checkpointer.save("model_final", state, iteration=last, **extra)

@@ -173,15 +173,13 @@ def test_int8_qdq_conv_param_tree_and_snr():
     variables = mod.init(jax.random.PRNGKey(1), x)
 
     y_f = mod.apply(variables, x)
-    assert not nn_common.INT8_QDQ
-    nn_common.INT8_QDQ = True
-    try:
+    assert not nn_common.int8_qdq_enabled()
+    with nn_common.int8_qdq_mode():
         v2 = mod.init(jax.random.PRNGKey(1), x)
         # identical tree: int8 path must load float checkpoints unchanged
         assert jax.tree.structure(v2) == jax.tree.structure(variables)
         y_q = mod.apply(variables, x)
-    finally:
-        nn_common.INT8_QDQ = False
+    assert not nn_common.int8_qdq_enabled()
 
     err = jnp.linalg.norm(y_f - y_q) / jnp.linalg.norm(y_f)
     snr_db = -20 * jnp.log10(err)
@@ -189,12 +187,25 @@ def test_int8_qdq_conv_param_tree_and_snr():
     assert float(snr_db) > 25.0, f"int8 SNR too low: {float(snr_db):.1f} dB"
 
     # train=True keeps the float path (QDQ is inference-only)
-    nn_common.INT8_QDQ = True
-    try:
+    with nn_common.int8_qdq_mode():
         y_t = mod.apply(variables, x, train=True)
-    finally:
-        nn_common.INT8_QDQ = False
     assert float(jnp.abs(y_t - y_f).max()) < 1e-6
+
+    # calibration sows per-layer input absmax; a calibrated static scale
+    # reproduces the dynamic result exactly when it equals the true absmax
+    with nn_common.int8_calibration_mode():
+        _, mut = mod.apply(variables, x, mutable=["int8_calib"])
+    from focoos_tpu.utils.checkpoint import flatten_tree
+
+    calib = flatten_tree(mut["int8_calib"])
+    assert len(calib) == 1
+    (key, absmax), = calib.items()
+    assert key.endswith("conv/absmax")
+    assert abs(float(absmax) - float(jnp.abs(x).max())) < 1e-6
+    scales = {key[: -len("/absmax")]: float(absmax) / 127.0}
+    with nn_common.int8_qdq_mode(act_scales=scales):
+        y_s = mod.apply(variables, x)
+    assert float(jnp.abs(y_s - y_q).max()) < 1e-6
 
 
 def test_export_stablehlo_size_buckets_dispatch(tiny_model, tmp_path_factory):

@@ -309,8 +309,15 @@ def test_periodic_checkpointer_stride(tmp_path):
     pc.step(4, state, stride=4)   # (4,8] — no multiple of 10
     assert not os.path.isdir(tmp_path / "model_0000004")
     pc.step(8, state, stride=4)   # (8,12] contains 10 AND completes max_iter=12
-    assert os.path.isdir(tmp_path / "model_0000008")
+    # the state reflects completed iterations 8..11, so the name/iteration
+    # field record the LAST completed iteration (resume replays nothing —
+    # ADVICE r2 medium)
+    assert os.path.isdir(tmp_path / "model_0000011")
     assert os.path.isdir(tmp_path / "model_final")
+    _, extra = ck.load("model_0000011")
+    assert int(extra["iteration"]) == 11
+    _, extra_f = ck.load("model_final")
+    assert int(extra_f["iteration"]) == 11
 
 
 def test_early_stopping_hook_triggers():
