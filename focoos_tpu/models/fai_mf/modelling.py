@@ -35,6 +35,7 @@ from focoos_tpu.nn.layers.common import (
     SelfAttentionBlock,
     TransformerEncoderLayer,
     bilinear_resize,
+    nearest_resize_torch,
     sine_position_embedding_2d_normalized,
 )
 
@@ -96,7 +97,9 @@ class TransformerFPN(nn.Module):
                 lat = nn.Conv(self.feat_dim, (1, 1), use_bias=False, dtype=self.dtype,
                               name=f"adapter_{idx}_conv")(x)
                 lat = bn(f"adapter_{idx}_norm")(lat)
-                up = jax.image.resize(y, (y.shape[0], lat.shape[1], lat.shape[2], y.shape[3]), method="nearest")
+                # torch-convention nearest (floor mapping): differs from
+                # jax.image.resize at odd sizes, e.g. res5 w=4 → res4 w=7
+                up = nearest_resize_torch(y, (lat.shape[1], lat.shape[2]))
                 y = lat + up
                 y = nn.Conv(self.feat_dim, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                             dtype=self.dtype, name=f"layer_{idx}_conv")(y)

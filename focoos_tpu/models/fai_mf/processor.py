@@ -32,8 +32,11 @@ def _masks_to_xyxy(masks: np.ndarray) -> np.ndarray:
 
 
 def _trim_mask(mask: np.ndarray, bbox) -> np.ndarray:
+    """Crop a mask to its bbox, EXCLUSIVE of the max row/col — matching the
+    reference's ``trim_mask`` (focoos/utils/vision.py:264: ``mask[y1:y2,
+    x1:x2]`` on an inclusive-max bbox), verified by e2e pipeline parity."""
     x0, y0, x1, y1 = [int(v) for v in bbox]
-    return mask[y0 : y1 + 1, x0 : x1 + 1]
+    return mask[y0:y1, x0:x1]
 
 
 def _resize_mask_batch(masks: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
@@ -63,7 +66,12 @@ class MaskFormerProcessor(Processor):
             return self.preprocess_entries(inputs)
         if self.training:
             raise ValueError("training preprocess expects a list of DatasetEntry")
-        return self.get_batch(inputs, self._target_size()), None
+        # mask models process inputs at NATIVE resolution — the reference
+        # deliberately does not apply image_size at inference
+        # (fai_mf/processor.py:94 "we are not using image_size input";
+        # bisenetformer/processor.py:90 likewise). Verified by e2e pipeline
+        # parity. Fixed-shape serving still goes through export buckets.
+        return self.get_batch(inputs, None), None
 
     def preprocess_entries(self, entries: List[DatasetEntry], max_instances: int = 100, mask_stride: int = 4):
         import jax.numpy as jnp
@@ -248,7 +256,11 @@ class MaskFormerProcessor(Processor):
 
             dets = []
             if len(scores):
-                resized = _resize_mask_batch(binm.astype(np.float32), (h, w)) > 0.5
+                # reference semantics (fai_mf/processor.py:282): the binary
+                # mask is bilinearly interpolated to the original size then
+                # ``.bool()``-ed — i.e. any nonzero interpolated value is
+                # foreground (> 0, not > 0.5)
+                resized = _resize_mask_batch(binm.astype(np.float32), (h, w)) > 0
                 boxes = _masks_to_xyxy(resized)
                 for bx, s, l, m in zip(boxes.tolist(), scores.tolist(), labels.tolist(), resized):
                     dets.append(

@@ -27,7 +27,7 @@ from focoos_tpu.models.rtmo.config import RTMOConfig
 from focoos_tpu.models.rtmo.ports import RTMOAuxOutputs, RTMOModelOutput
 from focoos_tpu.nn.backbone.base import BaseBackbone
 from focoos_tpu.nn.backbone.csp_darknet import ConvModule
-from focoos_tpu.nn.layers.common import bn_use_running, MultiHeadAttention
+from focoos_tpu.nn.layers.common import bn_use_running, MultiHeadAttention, nearest_resize_torch
 from focoos_tpu.ops.nms import topk_nms
 
 Dtype = jnp.dtype
@@ -172,7 +172,9 @@ class RTMOHybridEncoder(nn.Module):
             lat = ConvModule(hidden, 1, dtype=self.dtype, name=f"lateral_convs_{idx}")(inner[0], train)
             inner[0] = lat
             low = proj[low_i]
-            up = jax.image.resize(lat, (lat.shape[0], low.shape[1], low.shape[2], lat.shape[3]), method="nearest")
+            # torch-convention nearest (floor mapping); integer 2x here takes
+            # the repeat fast path — identical values, no gather
+            up = nearest_resize_torch(lat, (low.shape[1], low.shape[2]))
             fused = NeckCSPRepLayer(hidden, cfg.csp_layers, cfg.widen_factor, dtype=self.dtype,
                                     name=f"fpn_blocks_{idx}")(jnp.concatenate([up, low], axis=-1), train)
             inner.insert(0, fused)
@@ -379,12 +381,21 @@ class DCC(nn.Module):
 def grid_priors(
     featmap_sizes: Sequence[Tuple[int, int]], strides: Sequence[int], centralize: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """MlvlPointGenerator grid priors → (priors [A, 2] abs xy, strides [A])."""
+    """MlvlPointGenerator grid priors → (priors [A, 2] abs xy, strides [A]).
+
+    Reference semantics (focoos/models/rtmo/loss.py:36,142): the default
+    offset is 0.5 (anchor points at cell centers, (i+0.5)*stride);
+    ``centralize_points`` replaces it with a (stride-1)/2 pixel-center shift.
+    Round-3 e2e parity caught the offset inverted here — every decoded box
+    was shifted by stride/2."""
     pts, sts = [], []
     for (h, w), s in zip(featmap_sizes, strides):
-        off = 0.5 if centralize else 0.0
+        off = 0.0 if centralize else 0.5
         xs = (np.arange(w, dtype=np.float32) + off) * s
         ys = (np.arange(h, dtype=np.float32) + off) * s
+        if centralize:
+            xs += (s - 1) / 2.0
+            ys += (s - 1) / 2.0
         gx, gy = np.meshgrid(xs, ys)
         pts.append(np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
         sts.append(np.full((h * w,), s, np.float32))

@@ -120,19 +120,26 @@ class RTMOProcessor(Processor):
 
         results = []
         for i in range(scores.shape[0]):
+            h, w = image_sizes[i]
             keep = scores[i] > threshold
             dets = []
             for s, l, b, kp, kv in zip(
                 scores[i][keep], labels[i][keep], boxes[i][keep], kpts[i][keep], kvis[i][keep]
             ):
+                # reference int conventions (rtmo/processor.py:183-191):
+                # boxes clip to [0, max(h,w)] then TRUNCATE (astype int, not
+                # round); keypoint x clips to [0,w], y to [0,h], truncated
+                bb = np.clip(b, 0, max(h, w)).astype(int)
+                kx = np.clip(kp[:, 0], 0, w).astype(int)
+                ky = np.clip(kp[:, 1], 0, h).astype(int)
                 dets.append(
                     FocoosDet(
-                        bbox=np.rint(b).astype(int).tolist(),
+                        bbox=bb.tolist(),
                         conf=float(s),
                         cls_id=int(l),
                         label=class_names[int(l)] if class_names else None,
                         keypoints=[
-                            (int(round(x)), int(round(y)), float(v)) for (x, y), v in zip(kp, kv)
+                            (int(x), int(y), float(v)) for x, y, v in zip(kx, ky, kv)
                         ],
                     )
                 )

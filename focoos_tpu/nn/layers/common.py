@@ -350,6 +350,21 @@ def bilinear_resize(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear", antialias=False)
 
 
+def nearest_resize_torch(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """Nearest NHWC resize with torch ``F.interpolate(mode="nearest")``
+    semantics: src index = floor(dst * in / out) (asymmetric), which differs
+    from jax.image.resize's half-pixel rounding at NON-integer scales —
+    e.g. FPN upsampling on odd input sizes (e2e parity seam). Integer
+    upscales take the repeat fast path (identical results, no gather)."""
+    oh, ow = int(size[0]), int(size[1])
+    ih, iw = x.shape[1], x.shape[2]
+    if oh % ih == 0 and ow % iw == 0:
+        return jnp.repeat(jnp.repeat(x, oh // ih, axis=1), ow // iw, axis=2)
+    ri = (jnp.arange(oh) * ih) // oh
+    ci = (jnp.arange(ow) * iw) // ow
+    return x[:, ri][:, :, ci]
+
+
 def sine_position_embedding_2d_normalized(
     h: int,
     w: int,

@@ -88,7 +88,10 @@ def test_rtmo_postprocess_mixed_size_padded_batch_keeps_coords():
     assert dets[0].detections[0].bbox == [10, 20, 30, 40]
     assert dets[1].detections[0].bbox == [50, 60, 70, 80]  # must NOT be rescaled
     x, y, v = dets[1].detections[0].keypoints[0]
-    assert (x, y) == (55, 65)
+    # reference convention (rtmo/processor.py:183-185): keypoint y clips to
+    # [0, h] — image 2 is 64 high, so y=65 clamps to 64 (verified by e2e
+    # pipeline parity in round 3)
+    assert (x, y) == (55, 64)
 
     # inference preprocess pads raw batches to 32-divisible for the Focus stem
     batch, _ = p.preprocess(imgs)

@@ -163,6 +163,17 @@ def _fix_specs():
 def install():
     _stub_missing_modules()
     _fix_specs()
+    # the reference rtmo model does `from torchvision.ops import nms`
+    # (models/rtmo/modelling.py:14); expose the real (pure-torch) NMS from the
+    # boxes shim on the torchvision.ops stub so rtmo e2e parity runs the true
+    # suppression instead of a MagicMock. This is the documented
+    # "monkeypatched NMS" seam: the replacement is the verified-equivalent
+    # greedy IoU suppression above.
+    if "torchvision.ops" in sys.modules and "torchvision.ops.boxes" in sys.modules:
+        ops = sys.modules["torchvision.ops"]
+        boxes_mod = sys.modules["torchvision.ops.boxes"]
+        ops.nms = boxes_mod.nms
+        ops.boxes = boxes_mod
     import importlib.metadata as _md
 
     _orig_version = _md.version

@@ -395,6 +395,12 @@ def main():
     _reference_compat.install()
 
     args = sys.argv[1:] or ["all"]
+    if args[0] == "--e2e":
+        # end-to-end full-pipeline parity (reference FocoosModel.__call__ vs
+        # our FocoosModel.__call__ on identical images + converted weights)
+        import parity_e2e
+
+        return parity_e2e.run(args[1] if len(args) > 1 else "all")
     if args[0] == "all":
         todo = [
             ("fai_detr", "resnet"),
