@@ -131,6 +131,113 @@ def resize_dataset(src_dir: str, dst_dir: str, max_size: int = 1024) -> str:
     return dst_dir
 
 
+def convert_to_mask_format(dataset, new_data_dir: str) -> str:
+    """Export a semantic-seg DictDataset into the roboflow mask-folder layout
+    (reference: converters.py:236 — ``_classes.csv`` + ``{img}`` +
+    ``{img}_mask.png`` pairs in one split directory)."""
+    import csv
+
+    from focoos_tpu.ports import Task
+
+    assert dataset.metadata.task == Task.SEMSEG, "convert_to_mask_format requires a SEMSEG dataset"
+    os.makedirs(new_data_dir, exist_ok=True)
+    with open(os.path.join(new_data_dir, "_classes.csv"), "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["Pixel Value", "Class"])
+        for i, name in enumerate(dataset.metadata.classes):
+            writer.writerow([i, name])
+    n = 0
+    for rec in dataset:
+        img, mask = rec["file_name"], rec["sem_seg_file_name"]
+        img_name = os.path.basename(img)
+        shutil.copy(img, os.path.join(new_data_dir, img_name))
+        shutil.copy(mask, os.path.join(new_data_dir, os.path.splitext(img_name)[0] + "_mask.png"))
+        n += 1
+    logger.info(f"wrote mask-format dataset → {new_data_dir} ({n} pairs)")
+    return new_data_dir
+
+
+def convert_datasetninja_to_mask_dataset(
+    dataset_root: str,
+    dataset_name: str,
+    new_name: str,
+    image_folder: str = "img",
+    mask_folder: str = "ann",
+    ignore_classes: Optional[List[str]] = None,
+    use_background: bool = True,
+    train_split_name: str = "train",
+    val_split_name: str = "val",
+) -> str:
+    """DatasetNinja (Supervisely-layout) → roboflow mask-folder dataset
+    (reference: converters.py:359).
+
+    Input:  ``dataset_root/dataset_name/{split}/{image_folder,mask_folder}``
+            with per-image Supervisely JSON polygon annotations and a
+            ``meta.json`` listing classes.
+    Output: ``dataset_root/new_name/{train,valid}/`` each holding
+            ``_classes.csv`` + image/mask pairs, loadable via
+            ``DatasetLayout.ROBOFLOW_SEG``.
+    """
+    import csv
+
+    src = os.path.join(dataset_root, dataset_name)
+    dst = os.path.join(dataset_root, new_name)
+    ignore = set(ignore_classes or [])
+
+    # class list: meta.json if present, else the union over annotations
+    classes: List[str] = []
+    meta_path = os.path.join(src, "meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        classes = [c["title"] for c in meta.get("classes", []) if c["title"] not in ignore]
+    else:
+        seen = set()
+        for split in (train_split_name, val_split_name):
+            ann_dir = os.path.join(src, split, mask_folder)
+            if not os.path.isdir(ann_dir):
+                continue
+            for fn in os.listdir(ann_dir):
+                if fn.endswith(".json"):
+                    with open(os.path.join(ann_dir, fn)) as f:
+                        for obj in json.load(f).get("objects", []):
+                            t = obj.get("classTitle")
+                            if t and t not in ignore:
+                                seen.add(t)
+        classes = sorted(seen)
+    if use_background:
+        classes = ["background"] + [c for c in classes if c != "background"]
+
+    for split, out_split in ((train_split_name, "train"), (val_split_name, "valid")):
+        ann_dir = os.path.join(src, split, mask_folder)
+        img_dir = os.path.join(src, split, image_folder)
+        if not os.path.isdir(ann_dir) or not os.path.isdir(img_dir):
+            continue
+        out_dir = os.path.join(dst, out_split)
+        os.makedirs(out_dir, exist_ok=True)
+        # rasterize polygons → "{img}_mask.png" next to copied images
+        supervisely_to_semseg_masks(ann_dir, out_dir, classes)
+        # masks rasterized with 255 ignore; background index 0 covers the rest
+        if use_background:
+            import cv2
+
+            for fn in os.listdir(out_dir):
+                if fn.endswith("_mask.png"):
+                    p = os.path.join(out_dir, fn)
+                    m = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+                    m[m == 255] = 0
+                    cv2.imwrite(p, m)
+        for fn in os.listdir(img_dir):
+            shutil.copy(os.path.join(img_dir, fn), os.path.join(out_dir, fn))
+        with open(os.path.join(out_dir, "_classes.csv"), "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["Pixel Value", "Class"])
+            for i, name in enumerate(classes):
+                writer.writerow([i, name])
+        logger.info(f"datasetninja split {split} → {out_dir}")
+    return dst
+
+
 def get_output_shape(old_height: int, old_width: int, short_edge_length: int, max_size: int) -> Tuple[int, int]:
     """(new_h, new_w) scaling the short edge to ``short_edge_length`` capped at
     ``max_size`` (reference: transforms/resize_short_length.py:8)."""

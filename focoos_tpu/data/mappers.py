@@ -170,6 +170,11 @@ class ClassificationDatasetMapper(DatasetMapper):
     """(reference: mappers/classification_dataset_mapper.py:26)"""
 
     def __call__(self, record: dict) -> Optional[DatasetEntry]:
+        # coco-style records carry no 'label'; derive the multi-label from the
+        # annotations' category_ids (reference:
+        # classification_dataset_mapper.py:79-83 — used by coco_2017_cls)
+        if record.get("label") is None and record.get("annotations"):
+            record = dict(record, label=[a.get("category_id") for a in record["annotations"]])
         image = _read_image(record["file_name"])
         h0, w0 = image.shape[:2]
         aug_input = AugInput(image)

@@ -39,7 +39,7 @@ from focoos_tpu.nn.layers.common import (
     sine_position_embedding_2d,
 )
 from focoos_tpu.ops.boxes import box_cxcywh_to_xyxy, inverse_sigmoid
-from focoos_tpu.ops.deformable import ms_deform_attn_separable as ms_deform_attn
+from focoos_tpu.ops.deformable import ms_deform_attn_dispatch as ms_deform_attn
 
 Dtype = jnp.dtype
 

@@ -12,6 +12,7 @@ signature (see focoos_tpu/ops/pallas/msda.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -212,6 +213,91 @@ def _msda_sep_bwd_shared(spatial_shapes, res, ct):
     return d_value, d_loc, d_aw
 
 
+def _msda_hybrid_bwd_impl(spatial_shapes, res, ct):
+    """Round-3 backward reassociation ("hybrid" VJP) — the algebra:
+
+    autodiff of the separable forward materializes, per level,
+    ``cols`` [B,Lq,Hh,P,Y,D] as a forward residual (read back in bwd for
+    d_wy) AND ``d_cols`` (the wy⊗g outer product, same shape) consumed by
+    both d_wx and d_v — ~2×786 MB of HBM traffic at fai-detr level 0.
+    Here instead:
+
+    - ``M[b,l,h,y,x] = Σ_d v·g`` (one 490 MB tensor) serves BOTH d_wx
+      (contract y=H) and d_wy (contract x=W) — no forward residual at all;
+    - ``d_v = Σ_{l,p} wy · (wx ⊗ g)`` keeps the one unavoidable outer
+      product but contracts it over the WIDE fused (l·p) axis — the r2
+      lesson (docs/tpu_design.md): contraction width beats intermediate
+      bytes; the r2 negative ``_msda_sep_bwd_shared`` lost because its d_v
+      used the P=4-narrow S tensor, which this variant avoids.
+
+    Gradient parity vs autodiff: tests/test_ops.py.
+    """
+    value, sampling_locations, attention_weights = res
+    b, s, hh, d = value.shape
+    lq = sampling_locations.shape[1]
+    cdt = value.dtype
+    prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+    g = ct.reshape(b, lq, hh, d).astype(cdt)
+
+    d_value = []
+    d_loc_levels = []
+    d_aw_levels = []
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        sl = h * w
+        v_l = value[:, start : start + sl].reshape(b, h, w, hh, d)
+        start += sl
+        loc = sampling_locations[:, :, :, lid]
+        aw = attention_weights[:, :, :, lid].astype(cdt)
+        wy, wx_raw, wx, masks = _level_factors(loc, aw, h, w, cdt)
+        ind0y, ind1y, inb0y, inb1y, ind0x, ind1x, inb0x, inb1x = masks
+
+        # value–gradient correlation, shared by both weight gradients
+        M = jnp.einsum("byxhd,blhd->blhyx", v_l, g, precision=prec)
+        d_wx = jnp.einsum("blhpy,blhyx->blhpx", wy, M, precision=prec)
+        d_wy = jnp.einsum("blhpx,blhyx->blhpy", wx, M, precision=prec)
+
+        # d_v with the fused (l,p) contraction axis (width Lq*P)
+        A = jnp.einsum("blhpx,blhd->bhlpxd", wx, g, precision=prec)
+        d_v = jnp.einsum("blhpy,bhlpxd->byxhd", wy, A, precision=prec)
+        d_value.append(d_v.reshape(b, sl, hh, d))
+
+        d_aw = jnp.einsum("blhpx,blhpx->blhp", d_wx, wx_raw, precision=prec).astype(jnp.float32)
+        d_wx_raw = d_wx * aw[..., None]
+        d_tx = jnp.einsum(
+            "blhpx,blhpx->blhp", d_wx_raw.astype(jnp.float32),
+            (ind1x.astype(jnp.float32) * inb1x[..., None]
+             - ind0x.astype(jnp.float32) * inb0x[..., None]),
+        )
+        d_ty = jnp.einsum(
+            "blhpy,blhpy->blhp", d_wy.astype(jnp.float32),
+            (ind1y.astype(jnp.float32) * inb1y[..., None]
+             - ind0y.astype(jnp.float32) * inb0y[..., None]),
+        )
+        d_loc_levels.append(jnp.stack([d_tx * w, d_ty * h], axis=-1))
+        d_aw_levels.append(d_aw)
+
+    d_value = jnp.concatenate(d_value, axis=1).astype(value.dtype)
+    d_loc = jnp.stack(d_loc_levels, axis=3).astype(sampling_locations.dtype)
+    d_aw = jnp.stack(d_aw_levels, axis=3).astype(attention_weights.dtype)
+    return d_value, d_loc, d_aw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_separable_hybrid(value, spatial_shapes, sampling_locations, attention_weights):
+    """Separable MSDA with the round-3 hybrid backward (see
+    ``_msda_hybrid_bwd_impl``). Same forward as ``ms_deform_attn_separable``."""
+    return _msda_sep_fwd_impl(value, spatial_shapes, sampling_locations, attention_weights)
+
+
+def _msda_hybrid_fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = _msda_sep_fwd_impl(value, spatial_shapes, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+ms_deform_attn_separable_hybrid.defvjp(_msda_hybrid_fwd, _msda_hybrid_bwd_impl)
+
+
 def ms_deform_attn_separable(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -233,6 +319,28 @@ def ms_deform_attn_separable(
     """
     return _msda_sep_fwd_impl(value, tuple((int(h), int(w)) for h, w in spatial_shapes),
                               sampling_locations, attention_weights)
+
+
+# trace-time selector for the production MSDA backward (benchmarked on the
+# real chip; see docs/tpu_design.md "MSDA backward"):
+#   autodiff — XLA's VJP of the separable forward
+#   hybrid   — the round-3 reassociated custom VJP above
+_MSDA_BWD_MODE = "autodiff"
+
+
+def set_msda_backward(mode: str) -> None:
+    global _MSDA_BWD_MODE
+    assert mode in ("autodiff", "hybrid"), mode
+    _MSDA_BWD_MODE = mode
+
+
+def ms_deform_attn_dispatch(value, spatial_shapes, sampling_locations, attention_weights):
+    """Production entry point: separable forward, backward per the mode flag
+    (read at trace time)."""
+    ss = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if _MSDA_BWD_MODE == "hybrid":
+        return ms_deform_attn_separable_hybrid(value, ss, sampling_locations, attention_weights)
+    return ms_deform_attn_separable(value, ss, sampling_locations, attention_weights)
 
 
 def ms_deform_attn_matmul(

@@ -163,10 +163,91 @@ def test_catalog_registry_lists_builtins():
     from focoos_tpu.ports import DatasetSplitType
 
     names = list_catalog()
-    assert len(names) >= 3
+    # full reference breadth (catalog.py:34-120): COCO det/ins/kpts/cls +
+    # ade20k semseg/instance + voc semseg
+    for expected in ("coco_2017_det", "coco_2017_ins", "coco_2017_kpts",
+                     "coco_2017_cls", "ade20k_semseg", "ade20k_instance", "voc_semseg"):
+        assert expected in names, names
     # loading without the data on disk raises a clear error, not a crash
     with pytest.raises((FileNotFoundError, ValueError, AssertionError)):
         load_catalog_split(names[0], DatasetSplitType.TRAIN)
+
+
+def test_catalog_semseg_split_loads_from_disk(tmp_path, monkeypatch):
+    """ade20k-style semseg catalog entry resolves image↔gt pairs + classes."""
+    import json
+
+    import focoos_tpu.data.catalog as catalog_mod
+    from focoos_tpu.ports import DatasetSplitType, Task
+
+    monkeypatch.setattr(catalog_mod, "DATASETS_DIR", str(tmp_path))
+    root = tmp_path / "ADEChallengeData2016"
+    (root / "images/training").mkdir(parents=True)
+    (root / "annotations_detectron2/training").mkdir(parents=True)
+    info = {
+        "images": [{"id": 1, "file_name": "a.jpg"}],
+        "annotations": [{"image_id": 1, "file_name": "a.png"}],
+        "categories": [{"id": 0, "name": "wall"}, {"id": 1, "name": "sky"}],
+    }
+    (root / "ade20k_semseg_train.json").write_text(json.dumps(info))
+    ds = catalog_mod.load_catalog_split("ade20k_semseg", DatasetSplitType.TRAIN)
+    assert len(ds) == 1
+    rec = ds[0]
+    assert rec["file_name"].endswith("images/training/a.jpg")
+    assert rec["sem_seg_file_name"].endswith("annotations_detectron2/training/a.png")
+    assert ds.metadata.task == Task.SEMSEG and ds.metadata.num_classes == 2
+
+
+def test_convert_to_mask_format_and_datasetninja(tmp_path):
+    """convert_datasetninja_to_mask_dataset → ROBOFLOW_SEG loadable layout;
+    convert_to_mask_format re-exports a semseg DictDataset
+    (reference: converters.py:236, :359)."""
+    import json
+
+    import cv2
+
+    from focoos_tpu.data.converters import (
+        convert_datasetninja_to_mask_dataset,
+        convert_to_mask_format,
+    )
+    from focoos_tpu.data.datasets import DictDataset
+    from focoos_tpu.ports import DatasetMetadata, Task
+
+    # build a tiny datasetninja-layout dataset
+    src = tmp_path / "ninja"
+    for split in ("train", "val"):
+        (src / split / "img").mkdir(parents=True)
+        (src / split / "ann").mkdir(parents=True)
+        img = np.zeros((32, 32, 3), np.uint8)
+        cv2.imwrite(str(src / split / "img" / "x.jpg"), img)
+        ann = {
+            "size": {"height": 32, "width": 32},
+            "objects": [{
+                "classTitle": "car", "geometryType": "polygon",
+                "points": {"exterior": [[2, 2], [20, 2], [20, 20], [2, 20]]},
+            }],
+        }
+        (src / split / "ann" / "x.json").write_text(json.dumps(ann))
+    (src / "meta.json").write_text(json.dumps({"classes": [{"title": "car"}]}))
+
+    out = convert_datasetninja_to_mask_dataset(str(tmp_path), "ninja", "converted")
+    for split in ("train", "valid"):
+        d = os.path.join(out, split)
+        assert os.path.isfile(os.path.join(d, "_classes.csv"))
+        assert os.path.isfile(os.path.join(d, "x.jpg"))
+        mask = cv2.imread(os.path.join(d, "x_mask.png"), cv2.IMREAD_UNCHANGED)
+        assert mask is not None and mask.shape == (32, 32)
+        assert mask[10, 10] == 1  # car (after background insertion at 0)
+        assert mask[30, 30] == 0  # background, not 255-ignore
+
+    # the converted layout loads through the ROBOFLOW_SEG parser
+    ds = DictDataset.from_roboflow_seg(os.path.join(out, "train"))
+    assert len(ds) == 1 and ds.metadata.num_classes == 2
+
+    # and round-trips through convert_to_mask_format
+    out2 = convert_to_mask_format(ds, str(tmp_path / "reexport"))
+    assert os.path.isfile(os.path.join(out2, "_classes.csv"))
+    assert os.path.isfile(os.path.join(out2, "x_mask.png"))
 
 
 def test_transform_box_coords_consistency():

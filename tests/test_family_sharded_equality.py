@@ -1,0 +1,125 @@
+"""Sharded-vs-single-device training equality for EVERY model family
+(VERDICT r2 missing #3 / next-round #4).
+
+The toy-model mesh tests (test_trainer_components.py) prove build_train_step's
+GSPMD plumbing; these prove each family's REAL criterion — fai_detr's auction
+matching, fai_mf/bisenetformer's point-sampled mask losses, rtmo's SimOTA
+assignment with its global num_total_samples reduction, fai_cls — performs
+identical masked reductions when the batch is sharded over the 8-device mesh.
+A wrong cross-replica reduction in any loss would ship silently otherwise
+(reference analog: DDP averages gradients uniformly, dist.py:138; here every
+loss does its own masked normalization under pjit).
+"""
+
+import numpy as np
+import pytest
+
+TINY = {
+    "fai_detr": ("fai-detr-m-coco", dict(num_queries=10, transformer_predictor_dec_layers=2)),
+    "fai_mf": (
+        "fai-mf-s-coco-ins",
+        dict(num_queries=10, transformer_predictor_dec_layers=2, criterion_num_points=64,
+             postprocessing_type="instance"),
+    ),
+    "bisenetformer": (
+        "bisenetformer-s-ade",
+        dict(num_queries=10, transformer_predictor_dec_layers=2, criterion_num_points=64),
+    ),
+    "fai_cls": ("fai-cls-n-coco", dict()),
+    "rtmo": ("rtmo-s-coco", dict(transformer_encoder_layers=1, nms_pre_topk=50, max_detections=10)),
+}
+
+RES = 64
+
+
+def _entries(family: str, n: int = 8):
+    from focoos_tpu.ports import DatasetEntry
+    from focoos_tpu.structures import BitMasks, Boxes, Instances, Keypoints
+
+    rng = np.random.default_rng(3)
+    entries = []
+    for i in range(n):
+        img = rng.integers(0, 255, (RES, RES, 3), np.uint8)
+        if family == "fai_cls":
+            entries.append(DatasetEntry(image=img, height=RES, width=RES, label=int(rng.integers(0, 3))))
+            continue
+        k = int(rng.integers(1, 4))
+        boxes = np.sort(rng.uniform(4, RES - 4, (k, 4)).astype(np.float32), axis=-1)
+        boxes[:, 2:] = np.maximum(boxes[:, 2:], boxes[:, :2] + 8)
+        classes = rng.integers(0, 3, k).astype(np.int64)
+        fields = dict(boxes=Boxes(boxes), classes=classes)
+        if family in ("fai_mf", "bisenetformer"):
+            masks = np.zeros((k, RES, RES), bool)
+            for j, b in enumerate(boxes):
+                x0, y0, x1, y1 = [int(v) for v in b]
+                masks[j, y0:y1, x0:x1] = True
+            fields["masks"] = BitMasks(masks)
+        if family == "rtmo":
+            kp = np.zeros((k, 17, 3), np.float32)
+            for j, b in enumerate(boxes):
+                kp[j, :, 0] = rng.uniform(b[0], b[2], 17)
+                kp[j, :, 1] = rng.uniform(b[1], b[3], 17)
+                kp[j, :, 2] = 2.0
+            fields["keypoints"] = Keypoints(kp)
+        inst = Instances((RES, RES), **fields)
+        entries.append(DatasetEntry(image=img, height=RES, width=RES, instances=inst))
+    return entries
+
+
+@pytest.mark.parametrize("family", list(TINY))
+def test_family_train_step_sharded_matches_single(family):
+    import jax
+    import optax
+
+    from focoos_tpu.model_manager import ModelManager
+    from focoos_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from focoos_tpu.trainer.train_step import build_train_step, create_train_state
+    from focoos_tpu.trainer.trainer import _make_family_loss_fn
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+
+    name, kwargs = TINY[family]
+    model = ModelManager.get(name, num_classes=3, classes=["a", "b", "c"],
+                             image_size=RES, **kwargs)
+    model.processor.train(True)
+    images, targets = model.processor.preprocess(_entries(family))
+    batch = (np.asarray(images), targets)
+
+    loss_fn = _make_family_loss_fn(model)
+    tx = optax.sgd(1e-3)
+    variables = {"params": model.variables["params"],
+                 "batch_stats": model.variables.get("batch_stats", {})}
+
+    s1 = create_train_state(dict(variables), tx)
+    step1 = build_train_step(loss_fn, tx, donate=False)
+    s1, m1 = step1(s1, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh((8,), devices=jax.devices()[:8])
+    s2 = replicate(create_train_state(dict(variables), tx), mesh)
+    step8 = build_train_step(loss_fn, tx, mesh=mesh, donate=False)
+    s2, m2 = step8(s2, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+
+    # loss + every family metric (SimOTA's num_total_samples normalization,
+    # point-rend sampled losses, auction matching costs) must agree
+    m1, m2 = jax.device_get((m1, m2))
+    for key in m1:
+        # the global grad norm sums squares over tens of millions of
+        # elements — cross-device reduction order alone moves it ~1e-3
+        # relative at random-init gradient magnitudes (~1e3)
+        rtol = 5e-3 if key == "grad_norm" else 5e-4
+        np.testing.assert_allclose(
+            np.asarray(m1[key]), np.asarray(m2[key]), rtol=rtol, atol=1e-5,
+            err_msg=f"{family} metric {key}",
+        )
+    # one optimizer step must produce the same parameters
+    flat1 = jax.tree_util.tree_leaves_with_path(jax.device_get(s1.params))
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(jax.device_get(s2.params)))
+    checked = 0
+    for path, leaf in flat1:
+        other = flat2[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(other), rtol=5e-4, atol=2e-5,
+            err_msg=f"{family} param {jax.tree_util.keystr(path)}",
+        )
+        checked += 1
+    assert checked > 10

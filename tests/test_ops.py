@@ -230,6 +230,37 @@ def test_msda_shared_bwd_matches_autodiff():
         assert d / scale < 1e-5
 
 
+def test_msda_hybrid_vjp_matches_autodiff():
+    """The round-3 hybrid MSDA backward (M-shared weight gradients + wide
+    (l·p)-contraction d_v, ops/deformable.py::ms_deform_attn_separable_hybrid)
+    is gradient-identical to autodiff of the separable forward, including
+    out-of-bounds samples."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.ops.deformable import (
+        _msda_sep_fwd_impl,
+        ms_deform_attn_separable_hybrid,
+    )
+
+    rng = np.random.default_rng(1)
+    B, L, H, D, P = 2, 7, 3, 8, 4
+    ss = ((9, 11), (5, 6))
+    S = sum(h * w for h, w in ss)
+    v = jnp.asarray(rng.random((B, S, H, D), np.float32) - 0.5)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (B, L, H, len(ss), P, 2)).astype(np.float32))
+    aw = jnp.asarray(rng.random((B, L, H, len(ss), P), np.float32))
+
+    out_a, vjp_a = jax.vjp(lambda v, l, a: _msda_sep_fwd_impl(v, ss, l, a), v, loc, aw)
+    out_h, vjp_h = jax.vjp(lambda v, l, a: ms_deform_attn_separable_hybrid(v, ss, l, a), v, loc, aw)
+    assert float(jnp.max(jnp.abs(out_a - out_h))) < 1e-6
+    ct = jnp.asarray(rng.random(out_a.shape, np.float32) - 0.5)
+    for a, b in zip(vjp_h(ct), vjp_a(ct)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert d / scale < 1e-5
+
+
 def test_pallas_msda_interpret_matches_gather():
     """Interpret-mode parity of the fused Pallas MSDA kernel (kept as a
     documented negative perf result — see docs/tpu_design.md) against the
