@@ -107,6 +107,16 @@ def bench_train_step(iters):
     from focoos_tpu.trainer.solver import build_optimizer
     from focoos_tpu.trainer.train_step import build_train_step, create_train_state
 
+    # A/B the MSDA backward on the real chip: FOCOOS_MSDA_BWD=remat|hybrid
+    import os as _os
+
+    mode = _os.environ.get("FOCOOS_MSDA_BWD")
+    if mode:
+        from focoos_tpu.ops.deformable import set_msda_backward
+
+        set_msda_backward(mode)
+        log(f"MSDA backward mode: {mode}")
+
     model = ModelManager.get("fai-detr-m-coco", dtype="bfloat16")
     b, size, n_inst = 16, 640, 25
     rng_np = np.random.default_rng(0)

@@ -324,13 +324,14 @@ def ms_deform_attn_separable(
 # trace-time selector for the production MSDA backward (benchmarked on the
 # real chip; see docs/tpu_design.md "MSDA backward"):
 #   autodiff — XLA's VJP of the separable forward
-#   hybrid   — the round-3 reassociated custom VJP above
+#   hybrid   — the round-3 reassociated custom VJP above (measured 2.2× slower)
+#   remat    — jax.checkpoint: recompute cols in backward instead of saving it
 _MSDA_BWD_MODE = "autodiff"
 
 
 def set_msda_backward(mode: str) -> None:
     global _MSDA_BWD_MODE
-    assert mode in ("autodiff", "hybrid"), mode
+    assert mode in ("autodiff", "hybrid", "remat"), mode
     _MSDA_BWD_MODE = mode
 
 
@@ -340,6 +341,9 @@ def ms_deform_attn_dispatch(value, spatial_shapes, sampling_locations, attention
     ss = tuple((int(h), int(w)) for h, w in spatial_shapes)
     if _MSDA_BWD_MODE == "hybrid":
         return ms_deform_attn_separable_hybrid(value, ss, sampling_locations, attention_weights)
+    if _MSDA_BWD_MODE == "remat":
+        fn = jax.checkpoint(lambda v, l, a: _msda_sep_fwd_impl(v, ss, l, a))
+        return fn(value, sampling_locations, attention_weights)
     return ms_deform_attn_separable(value, ss, sampling_locations, attention_weights)
 
 

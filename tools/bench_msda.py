@@ -87,9 +87,13 @@ def main():
 
     print(f"device={jax.devices()[0].device_kind} batch={b} dtype={dt.__name__} mode={'fwd+bwd' if bwd_mode else 'fwd'}")
     if bwd_mode:
+        from focoos_tpu.ops.deformable import _msda_sep_fwd_impl
+
         todo = [
             ("sep+autodiff", ms_deform_attn_separable),
             ("sep+hybridVJP", lambda v, s, l, a: ms_deform_attn_separable_hybrid(v, tuple(s), l, a)),
+            ("sep+remat", lambda v, s, l, a: jax.checkpoint(
+                lambda v_, l_, a_: _msda_sep_fwd_impl(v_, tuple(s), l_, a_))(v, l, a)),
         ]
         for name, fn in todo:
             try:
