@@ -31,6 +31,7 @@ from focoos_tpu.nn.backbone.base import BaseBackbone
 from focoos_tpu.nn.layers.common import (
     bn_use_running,
     ConvNorm,
+    Int8Dense,
     MLP,
     MultiHeadAttention,
     TransformerEncoderLayer,
@@ -194,7 +195,7 @@ class MSDeformableAttention(nn.Module):
         hd = self.embed_dim // hh
         total = hh * self.num_levels * self.num_points
 
-        v = nn.Dense(self.embed_dim, dtype=self.dtype, name="value_proj")(value).reshape(b, s, hh, hd)
+        v = Int8Dense(self.embed_dim, dtype=self.dtype, name="value_proj")(value).reshape(b, s, hh, hd)
 
         bias_np = _msda_offset_bias_init(hh, self.num_levels, self.num_points)
         offsets = nn.Dense(
@@ -217,7 +218,7 @@ class MSDeformableAttention(nn.Module):
         loc = ref[..., :2] + offsets / self.num_points * ref[..., 2:] * 0.5
 
         out = ms_deform_attn(v, spatial_shapes, loc, attn)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(out)
+        return Int8Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(out)
 
 
 class DecoderLayer(nn.Module):
@@ -249,9 +250,9 @@ class DecoderLayer(nn.Module):
         )(tgt if query_pos is None else tgt + query_pos, reference_points, memory, spatial_shapes)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + ca)
 
-        ffn = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
+        ffn = Int8Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
         ffn = get_activation(self.activation)(ffn)
-        ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ffn)
+        ffn = Int8Dense(self.d_model, dtype=self.dtype, name="linear2")(ffn)
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + ffn)
 
 
@@ -317,7 +318,7 @@ class TransformerPredictor(nn.Module):
         valid = jnp.asarray(valid_np, dtype=memory.dtype)[None]  # [1, S, 1]
 
         masked_memory = memory * valid
-        out_mem = nn.Dense(self.hidden_dim, dtype=self.dtype, name="enc_output_0")(masked_memory)
+        out_mem = Int8Dense(self.hidden_dim, dtype=self.dtype, name="enc_output_0")(masked_memory)
         out_mem = nn.LayerNorm(epsilon=1e-5, name="enc_output_1")(out_mem)
 
         enc_logits = nn.Dense(self.num_classes, bias_init=cls_bias_init, dtype=self.dtype,

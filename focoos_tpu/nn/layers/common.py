@@ -547,6 +547,62 @@ class _Int8QDQConv(nn.Module):
         return y.astype(out_dtype)
 
 
+class Int8Dense(nn.Module):
+    """Drop-in ``nn.Dense`` (identical parameter tree — ``kernel`` [in, out]
+    + optional ``bias``, so checkpoints are interchangeable) that executes as
+    an int8 QDQ matmul under ``int8_qdq_mode`` — the dense-matmul extension
+    of ``_Int8QDQConv`` (reference analog: ONNX quantize_static also
+    QDQ-wraps MatMul nodes, focoos/infer/quantizer.py:200-209).
+    Per-out-channel weight scales; activation scale static when calibrated
+    (sown into ``int8_calib`` the same way), else dynamic per-tensor."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        out_dtype = self.dtype or x.dtype
+        if not int8_qdq_enabled():
+            y = jnp.dot(x.astype(out_dtype), kernel.astype(out_dtype))
+            if bias is not None:
+                y = y + bias.astype(out_dtype)
+            return y
+        f32 = jnp.float32
+        w = kernel.astype(f32)
+        sw = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0, 1e-12)
+        wq = jnp.round(w / sw).astype(jnp.int8)
+        if int8_calibrating():
+            self.sow(
+                "int8_calib",
+                "absmax",
+                jnp.max(jnp.abs(x.astype(f32))),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.asarray(0.0, f32),
+            )
+        calib = int8_act_scales()
+        path_key = "/".join(self.path)
+        if calib is not None and path_key in calib:
+            sx = jnp.asarray(calib[path_key], f32)
+        else:
+            sx = jnp.max(jnp.abs(x.astype(f32))) / 127.0
+        sx = jnp.maximum(sx, 1e-12)
+        xq = jnp.clip(jnp.round(x.astype(f32) / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, wq, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        y = y.astype(f32) * (sx * sw.reshape((1,) * (x.ndim - 1) + (-1,)))
+        if bias is not None:
+            y = y + bias.astype(f32)
+        return y.astype(out_dtype)
+
+
 class _S2DConv3x3s2(nn.Module):
     """conv 3x3 stride-2 pad-1 executed as space-to-depth(2) + conv 2x2.
 

@@ -323,10 +323,14 @@ def ms_deform_attn_separable(
 
 # trace-time selector for the production MSDA backward (benchmarked on the
 # real chip; see docs/tpu_design.md "MSDA backward"):
-#   autodiff — XLA's VJP of the separable forward
+#   remat    — jax.checkpoint: recompute the separable forward's cols in the
+#              backward instead of saving it. DEFAULT: measured fai-detr-m
+#              b16@640 train step 79.6 → 65.8 ms (+21% train throughput) —
+#              every decoder layer's [B,Lq,Hh,P,Y,D] residual stops being
+#              HBM-resident across the whole backward.
+#   autodiff — XLA's VJP of the separable forward (saves cols)
 #   hybrid   — the round-3 reassociated custom VJP above (measured 2.2× slower)
-#   remat    — jax.checkpoint: recompute cols in backward instead of saving it
-_MSDA_BWD_MODE = "autodiff"
+_MSDA_BWD_MODE = "remat"
 
 
 def set_msda_backward(mode: str) -> None:
