@@ -120,16 +120,31 @@ def _level_factors(loc, aw, h, w, cdt):
     return wy, wx_raw, wx, masks
 
 
-def _msda_sep_fwd_impl(value, spatial_shapes, sampling_locations, attention_weights):
+def _split_value_levels(value, spatial_shapes):
+    """[B, S, Hh, D] → per-level [B, H_l, W_l, Hh, D] slices."""
     b, s, hh, d = value.shape
-    lq = sampling_locations.shape[1]
-    cdt = value.dtype
-    out = jnp.zeros((b, lq, hh, d), dtype=cdt)
+    out = []
     start = 0
-    for lid, (h, w) in enumerate(spatial_shapes):
+    for h, w in spatial_shapes:
         sl = h * w
-        v_l = value[:, start : start + sl].reshape(b, h, w, hh, d)
+        out.append(value[:, start : start + sl].reshape(b, h, w, hh, d))
         start += sl
+    return out
+
+
+def _msda_sep_fwd_levels(v_levels, spatial_shapes, sampling_locations, attention_weights):
+    """Separable forward over pre-split per-level values (see
+    _msda_sep_fwd_impl; split out so the remat path can keep the value
+    slicing/relayout OUTSIDE the checkpointed region — the [16,6400,8,32] →
+    [16,80,80,8,32] relayouts cost ~0.25 ms each and would otherwise be
+    replayed by the backward recompute)."""
+    b = v_levels[0].shape[0]
+    hh, d = v_levels[0].shape[-2:]
+    lq = sampling_locations.shape[1]
+    cdt = v_levels[0].dtype
+    out = jnp.zeros((b, lq, hh, d), dtype=cdt)
+    for lid, (h, w) in enumerate(spatial_shapes):
+        v_l = v_levels[lid]
         loc = sampling_locations[:, :, :, lid]  # [B, Lq, Hh, P, 2]
         aw = attention_weights[:, :, :, lid].astype(cdt)  # [B, Lq, Hh, P]
         wy, _, wx, _ = _level_factors(loc, aw, h, w, cdt)
@@ -145,6 +160,13 @@ def _msda_sep_fwd_impl(value, spatial_shapes, sampling_locations, attention_weig
         out_l = jnp.einsum("blhpy,blhpyd->blhd", wy, cols, precision=prec)
         out = out + out_l
     return out.reshape(b, lq, hh * d)
+
+
+def _msda_sep_fwd_impl(value, spatial_shapes, sampling_locations, attention_weights):
+    return _msda_sep_fwd_levels(
+        _split_value_levels(value, spatial_shapes), spatial_shapes,
+        sampling_locations, attention_weights,
+    )
 
 
 def _msda_sep_bwd_shared(spatial_shapes, res, ct):
@@ -346,8 +368,12 @@ def ms_deform_attn_dispatch(value, spatial_shapes, sampling_locations, attention
     if _MSDA_BWD_MODE == "hybrid":
         return ms_deform_attn_separable_hybrid(value, ss, sampling_locations, attention_weights)
     if _MSDA_BWD_MODE == "remat":
-        fn = jax.checkpoint(lambda v, l, a: _msda_sep_fwd_impl(v, ss, l, a))
-        return fn(value, sampling_locations, attention_weights)
+        # value split/relayout stays OUTSIDE the checkpoint: the per-level
+        # slices (≈ one value copy) are cheap residuals, and the backward
+        # recompute skips their relayout copies
+        v_levels = _split_value_levels(value, ss)
+        fn = jax.checkpoint(lambda vs, l, a: _msda_sep_fwd_levels(vs, ss, l, a))
+        return fn(v_levels, sampling_locations, attention_weights)
     return ms_deform_attn_separable(value, ss, sampling_locations, attention_weights)
 
 
