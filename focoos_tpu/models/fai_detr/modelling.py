@@ -41,6 +41,7 @@ from focoos_tpu.nn.layers.common import (
 )
 from focoos_tpu.ops.boxes import box_cxcywh_to_xyxy, inverse_sigmoid
 from focoos_tpu.ops.deformable import ms_deform_attn_dispatch as ms_deform_attn
+from focoos_tpu.ops.deformable import ms_deform_attn_dispatch_levels as ms_deform_attn_levels
 
 Dtype = jnp.dtype
 
@@ -186,16 +187,27 @@ class MSDeformableAttention(nn.Module):
         self,
         query: jnp.ndarray,  # [B, Lq, C]
         reference_points: jnp.ndarray,  # [B, Lq, 1 or L, 4] cxcywh in [0,1]
-        value: jnp.ndarray,  # [B, S, C]
+        value,  # [B, S, C] flat, or list of per-level [B, H, W, C] maps
         spatial_shapes: Sequence[Tuple[int, int]],
     ) -> jnp.ndarray:
         b, lq = query.shape[:2]
-        s = value.shape[1]
         hh = self.num_heads
         hd = self.embed_dim // hh
         total = hh * self.num_levels * self.num_points
 
-        v = Int8Dense(self.embed_dim, dtype=self.dtype, name="value_proj")(value).reshape(b, s, hh, hd)
+        value_proj = Int8Dense(self.embed_dim, dtype=self.dtype, name="value_proj")
+        if isinstance(value, (list, tuple)):
+            # per-level projection (commutes with the level split — same
+            # weights, identical math) keeps values in their natural NHWC
+            # layout: no flat→spatial relayout copies (~0.25 ms/level/layer)
+            v_levels = [
+                value_proj(vl).reshape(vl.shape[0], vl.shape[1], vl.shape[2], hh, hd)
+                for vl in value
+            ]
+            v = None
+        else:
+            s = value.shape[1]
+            v = value_proj(value).reshape(b, s, hh, hd)
 
         bias_np = _msda_offset_bias_init(hh, self.num_levels, self.num_points)
         offsets = nn.Dense(
@@ -217,7 +229,10 @@ class MSDeformableAttention(nn.Module):
         ref = reference_points[:, :, None, :, None, :]  # [B, Lq, 1, 1orL, 1, 4]
         loc = ref[..., :2] + offsets / self.num_points * ref[..., 2:] * 0.5
 
-        out = ms_deform_attn(v, spatial_shapes, loc, attn)
+        if v is None:
+            out = ms_deform_attn_levels(v_levels, spatial_shapes, loc, attn)
+        else:
+            out = ms_deform_attn(v, spatial_shapes, loc, attn)
         return Int8Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(out)
 
 
@@ -301,12 +316,14 @@ class TransformerPredictor(nn.Module):
 
         # flatten levels: feats ordered [p5, p4, p3] NHWC
         tokens = []
-        spatial_shapes = []
+        level_maps = []  # NHWC per level — fed to the decoder's MSDA so the
+        spatial_shapes = []  # value path never leaves its natural layout
         for i, f in enumerate(feats):
             x = nn.Conv(self.hidden_dim, (1, 1), use_bias=False, dtype=self.dtype, name=f"input_proj_{i}_conv")(f)
             x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              name=f"input_proj_{i}_bn")(x)
             b, h, w, c = x.shape
+            level_maps.append(x)
             tokens.append(x.reshape(b, h * w, c))
             spatial_shapes.append((h, w))
         memory = jnp.concatenate(tokens, axis=1)  # [B, S, C]
@@ -358,7 +375,7 @@ class TransformerPredictor(nn.Module):
             output = DecoderLayer(
                 self.hidden_dim, self.nhead, self.dim_feedforward, self.num_levels, self.num_decoder_points,
                 dtype=self.dtype, name=f"decoder_layers_{i}",
-            )(output, ref_points_detach[:, :, None, :], memory, spatial_shapes, query_pos)
+            )(output, ref_points_detach[:, :, None, :], level_maps, spatial_shapes, query_pos)
 
             delta = MLP(self.hidden_dim, 4, 3, dtype=self.dtype, name=f"dec_bbox_classifier_{i}")(output)
             delta = delta.astype(jnp.float32)

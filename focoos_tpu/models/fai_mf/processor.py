@@ -49,6 +49,30 @@ def _resize_mask_batch(masks: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     return np.stack([cv2.resize(m.astype(np.float32), (w, h), interpolation=cv2.INTER_LINEAR) for m in masks]) if len(masks) else masks.reshape(0, h, w)
 
 
+def _device_semantic_argmax(logits, masks):
+    """On-device semantic label map: einsum bqc,bqhw→bchw + argmax → int32.
+
+    jitted per (shape, dtype) — the eval loop reuses one batch shape so this
+    compiles once. Inputs are the model's eval outputs (softmaxed class probs,
+    sigmoided masks), same operands the host ``semantic_inference`` consumes.
+    """
+    import jax
+
+    global _DEVICE_SEM_ARGMAX
+    if _DEVICE_SEM_ARGMAX is None:
+        import jax.numpy as jnp
+
+        def fn(lg, mk):
+            sem = jnp.einsum("bqc,bqhw->bchw", lg.astype(jnp.float32), mk.astype(jnp.float32))
+            return jnp.argmax(sem, axis=1).astype(jnp.int32)
+
+        _DEVICE_SEM_ARGMAX = jax.jit(fn)
+    return _DEVICE_SEM_ARGMAX(logits, masks)
+
+
+_DEVICE_SEM_ARGMAX = None
+
+
 class MaskFormerProcessor(Processor):
     def __init__(self, config: MaskFormerConfig, image_size: Optional[Union[int, Tuple[int, int]]] = None):
         super().__init__(config, image_size)
@@ -196,6 +220,27 @@ class MaskFormerProcessor(Processor):
         return pan, segments
 
     def eval_postprocess(self, output: MaskFormerModelOutput, batched_inputs: List[DatasetEntry], **kw):
+        import os
+
+        if self.postprocessing_type == "semantic" and not os.environ.get("FOCOOS_SEMSEG_EVAL_HOST"):
+            # Device path (default): the qc,qhw->chw projection + per-pixel
+            # argmax run on device and only an int32 [B, H, W] label map is
+            # fetched (~13 MB/batch at 640² instead of the [B, Q, H, W] float
+            # mask stack — measured 0.19 → 3 orders faster over the tunnel).
+            # The einsum commutes with the spatial crop (it is per-pixel) and
+            # with bilinear resize (both linear), so the only semantics change
+            # vs the host path is argmax-then-NEAREST-resize to the GT shape
+            # (done by SemSegEvaluator.process) instead of bilinear-resize-
+            # then-argmax — boundary-pixel-only deltas. Set
+            # FOCOOS_SEMSEG_EVAL_HOST=1 for the exact legacy path (reference
+            # semantics: focoos/models/fai_mf/processor.py:142-167).
+            pred_maps = np.asarray(_device_semantic_argmax(output.logits, output.masks))
+            results = []
+            for i, entry in enumerate(batched_inputs):
+                size = entry.image.shape[:2] if entry.image is not None else pred_maps.shape[-2:]
+                results.append({"sem_seg": pred_maps[i][: size[0], : size[1]]})
+            return results
+
         cls_pred = np.asarray(output.logits)
         mask_pred = np.asarray(output.masks)
         results = []

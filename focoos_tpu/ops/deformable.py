@@ -377,6 +377,27 @@ def ms_deform_attn_dispatch(value, spatial_shapes, sampling_locations, attention
     return ms_deform_attn_separable(value, ss, sampling_locations, attention_weights)
 
 
+def ms_deform_attn_dispatch_levels(v_levels, spatial_shapes, sampling_locations, attention_weights):
+    """Entry point for values already held per-level as [B, H, W, Hh, D] maps
+    (the value projection applied before flattening — it commutes with the
+    level split, so this is numerically identical to the flat path while
+    never materializing the [B, S, Hh, D] → spatial relayout copies that cost
+    ~0.25 ms/level/layer on v5e).
+
+    ``hybrid`` mode needs the flat layout, so it flattens here (A/B harness
+    only — hybrid is a documented negative result)."""
+    ss = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if _MSDA_BWD_MODE == "hybrid":
+        b = v_levels[0].shape[0]
+        hh, d = v_levels[0].shape[-2:]
+        flat = jnp.concatenate([v.reshape(b, -1, hh, d) for v in v_levels], axis=1)
+        return ms_deform_attn_separable_hybrid(flat, ss, sampling_locations, attention_weights)
+    if _MSDA_BWD_MODE == "remat":
+        fn = jax.checkpoint(lambda vs, l, a: _msda_sep_fwd_levels(vs, ss, l, a))
+        return fn(list(v_levels), sampling_locations, attention_weights)
+    return _msda_sep_fwd_levels(list(v_levels), ss, sampling_locations, attention_weights)
+
+
 def ms_deform_attn_matmul(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],

@@ -66,6 +66,7 @@ class TrainerLoop:
         self.storage: Optional[EventStorage] = None
         self._rng = jax.random.PRNGKey(0)
         self._pending_metrics = None
+        self._warned_kgroup_pad = False
 
     def register_hooks(self, hooks: List[Optional[HookBase]]) -> None:
         hooks = [h for h in hooks if h is not None]
@@ -124,6 +125,19 @@ class TrainerLoop:
                 if all(x.shape == xs[0].shape for x in xs):
                     return jnp.stack(xs)
                 tgt = tuple(max(x.shape[d] for x in xs) for d in range(xs[0].ndim))
+                # zero padding enters BatchNorm batch statistics (same in kind
+                # as ImageList padding, but across the K stacked micro-batches)
+                # — surface it instead of silently diluting the stats
+                if not self._warned_kgroup_pad:
+                    self._warned_kgroup_pad = True
+                    want = sum(int(np.prod(x.shape)) for x in xs)
+                    have = len(xs) * int(np.prod(tgt))
+                    logger.warning(
+                        f"steps_per_call={self.steps_per_call} stacked ragged shapes "
+                        f"{sorted({x.shape for x in xs})}: zero-padding {100 * (have - want) / have:.1f}% "
+                        "of pixels into the step (enters BN batch stats; shape-driven recompile). "
+                        "Use fixed-size augmentations to avoid this."
+                    )
                 xs = [jnp.pad(x, [(0, t - s) for s, t in zip(x.shape, tgt)]) for x in xs]
                 return jnp.stack(xs)
 

@@ -96,3 +96,39 @@ def test_rtmo_postprocess_mixed_size_padded_batch_keeps_coords():
     # inference preprocess pads raw batches to 32-divisible for the Focus stem
     batch, _ = p.preprocess(imgs)
     assert batch.shape[1] % 32 == 0 and batch.shape[2] % 32 == 0
+
+
+def test_semseg_eval_device_path_matches_host_path(monkeypatch):
+    """The on-device einsum+argmax eval path must produce the same label map
+    as the legacy host path (bilinear resize → einsum → argmax) when no
+    resize is needed; argmax ties are excluded by construction (margin)."""
+    import jax.numpy as jnp
+
+    from focoos_tpu.models.fai_mf.config import MaskFormerConfig
+    from focoos_tpu.models.fai_mf.ports import MaskFormerModelOutput
+    from focoos_tpu.models.fai_mf.processor import MaskFormerProcessor
+    from focoos_tpu.ports import DatasetEntry
+
+    rng = np.random.default_rng(7)
+    b, q, c, h, w = 2, 6, 4, 16, 16
+    logits = rng.random((b, q, c), np.float32)
+    masks = rng.random((b, q, h, w), np.float32)
+    out = MaskFormerModelOutput(logits=jnp.asarray(logits), masks=jnp.asarray(masks), loss=None)
+    entries = [
+        DatasetEntry(image=np.zeros((h, w, 3), np.uint8), height=h, width=w) for _ in range(b)
+    ]
+    cfg = MaskFormerConfig(num_classes=c, postprocessing_type="semantic")
+    proc = MaskFormerProcessor(cfg)
+
+    monkeypatch.delenv("FOCOOS_SEMSEG_EVAL_HOST", raising=False)
+    dev = proc.eval_postprocess(out, entries)
+    monkeypatch.setenv("FOCOOS_SEMSEG_EVAL_HOST", "1")
+    host = proc.eval_postprocess(out, entries)
+
+    for d, hres in zip(dev, host):
+        dmap = np.asarray(d["sem_seg"])
+        hmap = np.asarray(hres["sem_seg"]).argmax(0)
+        assert dmap.shape == hmap.shape
+        # tolerate float-order argmax tie flips between einsum backends
+        agree = (dmap == hmap).mean()
+        assert agree > 0.999, f"device/host semseg eval disagree: {agree}"
