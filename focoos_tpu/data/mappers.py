@@ -20,7 +20,16 @@ logger = get_logger(__name__)
 
 def _read_image(path: str) -> np.ndarray:
     """RGB uint8 with EXIF orientation applied (reference: data/utils.py:310
-    _apply_exif_orientation — phone photos are often stored rotated)."""
+    _apply_exif_orientation — phone photos are often stored rotated).
+
+    cv2.imread applies EXIF orientation itself and decodes ~2x faster than
+    PIL on this 1-core host (the mapper is the training-loop bottleneck);
+    PIL remains the fallback for formats cv2 can't read."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is not None:
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     from PIL import Image, ImageOps
 
     with Image.open(path) as im:

@@ -34,7 +34,7 @@ class ClassificationProcessor(Processor):
                     labels[i, e.label] = 1.0
             import jax.numpy as jnp
 
-            return images.tensor.astype(np.uint8), ClassificationTargets(labels=jnp.asarray(labels))
+            return images.tensor.astype(np.uint8, copy=False), ClassificationTargets(labels=jnp.asarray(labels))
         if self.training:
             raise ValueError("training preprocess expects a list of DatasetEntry")
         return self.get_batch(inputs, self._target_size()), None

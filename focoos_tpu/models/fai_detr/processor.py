@@ -58,7 +58,7 @@ class DETRProcessor(Processor):
         are padded to ``max_instances`` with a validity mask.
         """
         images = ImageList.from_tensors([e.image for e in entries])
-        batch = images.tensor.astype(np.uint8)
+        batch = images.tensor.astype(np.uint8, copy=False)
         if not self.training:
             return batch, None
         b = len(entries)

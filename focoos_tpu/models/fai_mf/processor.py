@@ -101,7 +101,7 @@ class MaskFormerProcessor(Processor):
         import jax.numpy as jnp
 
         images = ImageList.from_tensors([e.image for e in entries])
-        batch = images.tensor.astype(np.uint8)
+        batch = images.tensor.astype(np.uint8, copy=False)
         if not self.training:
             return batch, None
         b = len(entries)

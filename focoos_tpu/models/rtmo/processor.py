@@ -50,7 +50,7 @@ class RTMOProcessor(Processor):
         # stride-8/16/32 head require even splits at every level — odd
         # augmented sizes would break the space-to-depth concat.
         images = ImageList.from_tensors([e.image for e in entries], size_divisibility=32)
-        batch = images.tensor.astype(np.uint8)
+        batch = images.tensor.astype(np.uint8, copy=False)
         if not self.training:
             return batch, None
         b = len(entries)

@@ -43,6 +43,11 @@ class ResnetConfig(BackboneConfig):
     # s2d packs 2x2 blocks into 12 channels and quarters the spatial extent).
     # Same parameters, exact to fp rounding; see _S2DConv3x3s2.
     space_to_depth: bool = False
+    # execute the stem's stride-2 conv as a phase-packed 5x5/s4 conv +
+    # depth-to-space (N = 4*32 = 128 output lanes instead of 32, K = 75
+    # instead of 27) — see _PhasePackConv3x3s2. Same parameters, exact to fp
+    # rounding; falls back to the plain conv when H/W % 4 != 0.
+    stem_phase_pack: bool = True
     # jax.checkpoint each residual block: activations are recomputed in the
     # backward pass instead of stored — trades ~30% extra FLOPs for a large
     # activation-memory cut, enabling bigger per-chip batches (HBM is the
@@ -131,7 +136,9 @@ class ResNet(BaseBackbone):
 
         # stem: deep 3x3 stack for variants c/d, single 7x7 otherwise
         if cfg.variant in ("c", "d"):
-            x = ConvNorm(32, 3, 2, act=cfg.act, norm=norm, s2d=cfg.space_to_depth, dtype=dtype, name="conv1_1")(x, train)
+            x = ConvNorm(32, 3, 2, act=cfg.act, norm=norm, s2d=cfg.space_to_depth,
+                     phase_pack=cfg.stem_phase_pack and not cfg.space_to_depth,
+                     dtype=dtype, name="conv1_1")(x, train)
             x = ConvNorm(32, 3, 1, act=cfg.act, norm=norm, dtype=dtype, name="conv1_2")(x, train)
             x = ConvNorm(64, 3, 1, act=cfg.act, norm=norm, dtype=dtype, name="conv1_3")(x, train)
         else:

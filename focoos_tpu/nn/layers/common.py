@@ -179,13 +179,28 @@ class ConvNorm(nn.Module):
     # exact to fp rounding) — see _S2DConv3x3s2 below. Only valid for
     # kernel_size=3, stride=2, no bias/groups/dilation.
     s2d: bool = False
+    # execute a 3x3/s2 conv as a phase-packed 5x5/s4 conv + depth-to-space
+    # (same params/paths, exact to fp rounding) — see _PhasePackConv3x3s2.
+    # Falls back to the plain conv when H or W isn't divisible by 4.
+    phase_pack: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.kernel_size
         pad = (k - 1) // 2 * self.dilation if self.padding is None else self.padding
-        if self.s2d and k == 3 and self.stride == 2 and not self.bias and self.groups == 1:
+        if (
+            self.phase_pack
+            and k == 3
+            and self.stride == 2
+            and not self.bias
+            and self.groups == 1
+            and self.dilation == 1
+            and x.shape[1] % 4 == 0
+            and x.shape[2] % 4 == 0
+        ):
+            x = _PhasePackConv3x3s2(self.ch_out, dtype=self.dtype, name="conv")(x)
+        elif self.s2d and k == 3 and self.stride == 2 and not self.bias and self.groups == 1:
             x = _S2DConv3x3s2(self.ch_out, dtype=self.dtype, name="conv")(x)
         elif int8_qdq_enabled() and not train:
             x = _Int8QDQConv(
@@ -601,6 +616,49 @@ class Int8Dense(nn.Module):
         if bias is not None:
             y = y + bias.astype(f32)
         return y.astype(out_dtype)
+
+
+class _PhasePackConv3x3s2(nn.Module):
+    """conv 3x3 stride-2 pad-1 executed as one 5x5 stride-4 conv that emits
+    all four output phases as channels, then depth-to-space.
+
+    The channel-starved stem conv (C_in=3) runs at ~1% MXU utilization: XLA
+    pads the 3 input channels up to a full lane tile per tap. Packing the
+    2x2 output-phase grid into the channel dim makes N = 4*F = 128 output
+    lanes and K = 5*5*C contraction taps — the MXU finally gets a wide
+    matmul — at quarter spatial extent; the trailing depth-to-space is one
+    cheap relayout. Output phase (py,px) tap (dy,dx) reads raw row
+    4I + 2py + dy - 1, so the window spans u = 2py+dy in [0,4]: a 5x5
+    stride-4 kernel with the original 3x3 taps scattered per phase
+    (zero elsewhere). The parameter keeps the torch-compatible [3,3,C,F]
+    shape/name so checkpoints and converters are unaffected. Exact to fp
+    rounding. Requires H % 4 == W % 4 == 0 (caller falls back otherwise).
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        b, h, w, c = x.shape
+        f = self.features
+        k = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, c, f))
+        kf = k.astype(x.dtype)
+        # k5[u, v, c, (py, px, f)] = kernel[u - 2py, v - 2px, c, f]
+        k5 = jnp.zeros((5, 5, c, 2, 2, f), x.dtype)
+        for py in range(2):
+            for px in range(2):
+                for dy in range(3):
+                    for dx in range(3):
+                        k5 = k5.at[2 * py + dy, 2 * px + dx, :, py, px].set(kf[dy, dx])
+        k5 = k5.reshape(5, 5, c, 4 * f)
+        dn = jax.lax.conv_dimension_numbers(x.shape, k5.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, k5, (4, 4), ((1, 0), (1, 0)), dimension_numbers=dn)
+        ho, wo = h // 4, w // 4
+        y = y.reshape(b, ho, wo, 2, 2, f).transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * ho, 2 * wo, f)
+        return y
 
 
 class _S2DConv3x3s2(nn.Module):

@@ -10,7 +10,7 @@ static shapes.
 from __future__ import annotations
 
 from enum import IntEnum
-from typing import Any, Dict, Iterator, List, Sequence, Tuple, Union
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -325,6 +325,7 @@ class ImageList:
         size_divisibility: int = 0,
         pad_value: float = 0.0,
         square_size: int = 0,
+        dtype: Optional[np.dtype] = None,
     ) -> "ImageList":
         assert len(tensors) > 0
         image_sizes = [(int(t.shape[0]), int(t.shape[1])) for t in tensors]
@@ -337,7 +338,10 @@ class ImageList:
             max_h = (max_h + d - 1) // d * d
             max_w = (max_w + d - 1) // d * d
         c = tensors[0].shape[2] if tensors[0].ndim == 3 else 1
-        batch = np.full((len(tensors), max_h, max_w, c), pad_value, dtype=np.float32)
+        # Batch in the input dtype (uint8 straight from the mapper is 4x less
+        # host memory traffic than a float32 staging buffer on this 1-core
+        # host; normalization happens on device anyway).
+        batch = np.full((len(tensors), max_h, max_w, c), pad_value, dtype=dtype or tensors[0].dtype)
         for i, t in enumerate(tensors):
             if t.ndim == 2:
                 t = t[:, :, None]

@@ -336,3 +336,31 @@ def test_resize_dataset_rescales_annotations(tmp_path):
     assert out["annotations"][0]["bbox"] == [10.0, 5.0, 20.0, 15.0]
     im = cv2.imread(dst + "/train/a.jpg")
     assert im.shape[:2] == (50, 100)
+
+
+def test_color_aug_ssd_lut_matches_float_oracle():
+    """The LUT fast path must be bit-exact with the float32 formulation
+    (same np.random stream => same draws => identical pixels)."""
+    aug = T.ColorAugSSD()
+    rng = np.random.default_rng(7)
+    mismatches = 0
+    for trial in range(64):
+        img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+        np.random.seed(trial)
+        ai = T.AugInput(img.copy())
+        aug(ai)
+        np.random.seed(trial)
+        ref = aug._apply_float(img.copy())
+        if not np.array_equal(ai.image, ref):
+            mismatches += 1
+    assert mismatches == 0
+
+
+def test_imagelist_keeps_uint8_dtype():
+    from focoos_tpu.structures import ImageList
+
+    ims = [np.full((30, 40, 3), 7, np.uint8), np.full((50, 20, 3), 9, np.uint8)]
+    il = ImageList.from_tensors(ims)
+    assert il.tensor.dtype == np.uint8
+    fl = ImageList.from_tensors([i.astype(np.float32) for i in ims])
+    assert fl.tensor.dtype == np.float32

@@ -147,3 +147,24 @@ def test_vit_helpers_rel_pos_and_patch_embed(key):
     pe = PatchEmbed(embed_dim=32)
     v = pe.init(key, jnp.ones((1, 64, 64, 3)))
     assert pe.apply(v, jnp.ones((1, 64, 64, 3))).shape == (1, 4, 4, 32)
+
+
+def test_phase_pack_stem_conv_matches_plain():
+    """_PhasePackConv3x3s2 (5x5/s4 phase-packed + depth-to-space) must equal
+    the plain 3x3/s2/p1 conv to fp rounding for any H,W % 4 == 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.nn.layers.common import _PhasePackConv3x3s2
+
+    rng = jax.random.PRNGKey(0)
+    for h, w, c, f in [(32, 48, 3, 32), (16, 16, 8, 16)]:
+        x = jax.random.normal(rng, (2, h, w, c), jnp.float32)
+        mod = _PhasePackConv3x3s2(f)
+        vs = mod.init(rng, x)
+        y_fast = mod.apply(vs, x)
+        k = vs["params"]["kernel"]
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        y_ref = jax.lax.conv_general_dilated(x, k, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn)
+        assert y_fast.shape == y_ref.shape
+        assert float(jnp.abs(y_fast - y_ref).max()) < 5e-6
