@@ -47,7 +47,13 @@ class ResnetConfig(BackboneConfig):
     # depth-to-space (N = 4*32 = 128 output lanes instead of 32, K = 75
     # instead of 27) — see _PhasePackConv3x3s2. Same parameters, exact to fp
     # rounding; falls back to the plain conv when H/W % 4 != 0.
-    stem_phase_pack: bool = True
+    # Default OFF: measured a net LOSS on v5e (fai-detr-l b16@640 device-op
+    # 34.7 -> 37.7 ms) — the conv itself wins (1.29 -> 1.00 ms) but XLA
+    # routes the depth-to-space through f32 relayouts (2.65 ms) and the
+    # following conv's input loses its packed-bf16 layout. The stem is
+    # floor-bounded by the lane-hostile C=3 input reads either way; see
+    # docs/tpu_design.md "Phase-packed stem".
+    stem_phase_pack: bool = False
     # jax.checkpoint each residual block: activations are recomputed in the
     # backward pass instead of stored — trades ~30% extra FLOPs for a large
     # activation-memory cut, enabling bigger per-chip batches (HBM is the
