@@ -257,6 +257,26 @@ def main():
             kpt = {"error": str(e)[:200]}
         workloads["keypoint_rtmo-s"] = kpt
 
+    if on_tpu and os.environ.get("FOCOOS_BENCH_LOOP"):
+        # 7. end-to-end train LOOP + eval img/s through the public API
+        # (tools/bench_loop.py). Opt-in: on remote-tunnel rigs these numbers
+        # measure the link's sustained MB/s, not the framework — the loop
+        # machinery itself steps at device speed (266 img/s fixed-batch;
+        # docs/tpu_design.md "Round 3: the train/eval LOOP").
+        try:
+            import subprocess
+            import sys as _sys
+
+            r = subprocess.run(
+                [_sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                               "tools", "bench_loop.py"),
+                 "all", "--iters", "16", "--bs", "16", "--res", "640"],
+                capture_output=True, text=True, timeout=1800,
+            )
+            workloads["loop_end_to_end"] = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            workloads["loop_end_to_end"] = {"error": str(e)[:200]}
+
     out = {
         "metric": "fai-detr-l-coco 640x640 throughput (1 chip, bf16)",
         "value": round(best_ips, 2),

@@ -112,6 +112,39 @@ class _Prefetcher:
             yield self._q.get()
 
 
+def device_prefetch(it, depth: int = 2):
+    """Run an iterator in a background thread, ``depth`` items ahead.
+
+    Wrap a generator whose body performs the host→device placement
+    (``device_put`` / ``shard_batch``): the upload of batch k+1 then overlaps
+    the device computing step k instead of serializing in the train loop.
+    On remote-attached devices the upload is the dominant host cost
+    (~200 ms for a 20 MB uint8 b16@640 batch), so this is the difference
+    between a transfer-bound and a compute-bound loop.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _SENTINEL = object()
+    err: List[BaseException] = []
+
+    def run():
+        try:
+            for x in it:
+                q.put(x)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        x = q.get()
+        if x is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield x
+
+
 def build_train_loader(
     dataset,
     processor,

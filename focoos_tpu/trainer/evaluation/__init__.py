@@ -82,6 +82,9 @@ def inference_on_dataset(model, dataset, evaluator: DatasetEvaluator, batch_size
             pad = batch_size - len(entries)
             batch_entries = entries + [entries[-1]] * pad
             batch, _ = model.processor.preprocess(batch_entries)
+            # upload here, in the producer thread: the H2D copy of batch k+1
+            # overlaps the device forward of batch k
+            batch = jax.device_put(batch)
             yield entries, batch_entries, batch, time.perf_counter() - t0
             i += len(entries)
 
@@ -103,6 +106,21 @@ def inference_on_dataset(model, dataset, evaluator: DatasetEvaluator, batch_size
     t.start()
 
     done = 0
+    pending = None  # (entries, batch_entries, dispatched forward output)
+
+    def consume(p) -> None:
+        """Fetch + postprocess a previously dispatched batch (device already
+        moved on to the next forward, so the transfer overlaps compute)."""
+        nonlocal total_compute, done
+        entries, batch_entries, out = p
+        t1 = time.perf_counter()
+        out = jax.block_until_ready(out)
+        results = model.processor.eval_postprocess(out, batch_entries)
+        total_compute += time.perf_counter() - t1
+        evaluator.process(entries, results[: len(entries)])
+        done += len(entries)
+        log_every_n_seconds(logger, f"eval {done}/{n} images (host {rank}/{world})", n=10)
+
     while True:
         item = q.get()
         if item is _SENTINEL:
@@ -111,16 +129,13 @@ def inference_on_dataset(model, dataset, evaluator: DatasetEvaluator, batch_size
             break
         entries, batch_entries, batch, data_time = item
         total_data += data_time
-
-        t1 = time.perf_counter()
+        # software pipeline: dispatch batch k's forward, THEN drain batch k-1
         out = model.forward(batch)
-        out = jax.block_until_ready(out)
-        total_compute += time.perf_counter() - t1
-
-        results = model.processor.eval_postprocess(out, batch_entries)
-        evaluator.process(entries, results[: len(entries)])
-        done += len(entries)
-        log_every_n_seconds(logger, f"eval {done}/{n} images (host {rank}/{world})", n=10)
+        prev, pending = pending, (entries, batch_entries, out)
+        if prev is not None:
+            consume(prev)
+    if pending is not None:
+        consume(pending)
 
     if world > 1:
         states = all_gather_objects(evaluator.state_for_gather())

@@ -227,11 +227,24 @@ class LRSchedulerHook(HookBase):
 
     def __init__(self, schedule_fn: Callable):
         self._schedule = schedule_fn
+        self._cpu = None
 
     def after_step(self):
-        import jax.numpy as jnp
+        import jax
 
-        lr = float(self._schedule(jnp.asarray(self.trainer.iter)))
+        # evaluate the schedule on the HOST backend: on the accelerator the
+        # tiny program would queue behind the in-flight train step and the
+        # blocking float() would sync the pipeline every iteration
+        if self._cpu is None:
+            try:
+                self._cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                self._cpu = False
+        if self._cpu:
+            with jax.default_device(self._cpu):
+                lr = float(self._schedule(self.trainer.iter))
+        else:
+            lr = float(self._schedule(self.trainer.iter))
         get_event_storage().put_scalar("lr", lr, smoothing_hint=False)
 
 

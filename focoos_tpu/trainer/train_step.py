@@ -82,31 +82,67 @@ def _make_step_body(
     return step_fn
 
 
+def _pack_metrics(step_fn):
+    """Wrap a step body so metrics come back as ONE stacked f32 array.
+
+    A dict of 10-15 scalar device arrays costs one host round trip per leaf
+    on remote-attached devices; a single [N] array is one transfer. Keys are
+    captured at trace time (dict keys are static under tracing) into
+    ``keys_cell`` so the host side can rebuild the dict.
+    """
+    keys_cell: list = []
+
+    def fn(state, batch, rng):
+        new_state, metrics = step_fn(state, batch, rng)
+        keys = sorted(metrics)
+        if not keys_cell:
+            keys_cell.extend(keys)
+        return new_state, jnp.stack([jnp.asarray(metrics[k], jnp.float32) for k in keys])
+
+    return fn, keys_cell
+
+
+def _host_unpack(jitted, keys_cell):
+    def host_fn(state, batch, rng):
+        new_state, arr = jitted(state, batch, rng)
+        return new_state, (tuple(keys_cell), arr)
+
+    return host_fn
+
+
 def build_train_step(
     loss_fn: Callable,  # (variables, batch, rng) -> (total_loss, (metrics, new_model_state))
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     ema_decay_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     donate: bool = True,
+    pack_metrics: bool = False,
 ):
     """Compile a full train step.
 
     ``loss_fn`` must be pure and already close over the module/criterion; it
     receives ``variables = {"params", "batch_stats"}`` and the sharded batch.
+    With ``pack_metrics`` the metrics come back as ``(keys, stacked_array)``
+    — one device→host transfer instead of one per scalar (the trainer uses
+    this; tests and tools keep the plain dict).
     """
     step_fn = _make_step_body(loss_fn, tx, ema_decay_fn)
+    keys_cell = None
+    if pack_metrics:
+        step_fn, keys_cell = _pack_metrics(step_fn)
 
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        step_fn,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,) if donate else (),
-    )
+        jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        jitted = jax.jit(
+            step_fn,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return _host_unpack(jitted, keys_cell) if pack_metrics else jitted
 
 
 def build_multi_train_step(
@@ -116,6 +152,7 @@ def build_multi_train_step(
     mesh: Optional[Mesh] = None,
     ema_decay_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     donate: bool = True,
+    pack_metrics: bool = False,
 ):
     """K optimizer steps per host dispatch via ``lax.scan``.
 
@@ -140,13 +177,19 @@ def build_multi_train_step(
         state, metrics = jax.lax.scan(body, state, (batches, rngs))
         return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
 
+    keys_cell = None
+    if pack_metrics:
+        multi_fn, keys_cell = _pack_metrics(multi_fn)
+
     if mesh is None:
-        return jax.jit(multi_fn, donate_argnums=(0,) if donate else ())
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(None, "data"))  # leading K axis unsharded
-    return jax.jit(
-        multi_fn,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,) if donate else (),
-    )
+        jitted = jax.jit(multi_fn, donate_argnums=(0,) if donate else ())
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(None, "data"))  # leading K axis unsharded
+        jitted = jax.jit(
+            multi_fn,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return _host_unpack(jitted, keys_cell) if pack_metrics else jitted

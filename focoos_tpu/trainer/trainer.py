@@ -145,25 +145,41 @@ class TrainerLoop:
         data_time = time.perf_counter() - t0
 
         self._rng, step_rng = jax.random.split(self._rng)
+        prev = self._pending_metrics
         self.state, metrics = self.step_fn(self.state, batch, step_rng)
-        # async dispatch: metrics fetched lazily to keep the device busy
-        self._pending_metrics = (metrics, data_time)
-        if (self.iter + 1) % self.gather_metric_period == 0:
-            self._flush_metrics()
+        # one-step-delayed fetch: step k's metrics are pulled AFTER step k+1
+        # is dispatched, so the (blocking) device→host transfer overlaps the
+        # device computing the next step instead of stalling on this one.
+        self._pending_metrics = (metrics, data_time, self.iter)
+        if prev is not None and (prev[2] + 1) % self.gather_metric_period == 0:
+            self._flush_one(prev)
 
     def _flush_metrics(self, force: bool = False) -> None:
         if self._pending_metrics is None:
             return
-        metrics, data_time = self._pending_metrics
-        self._pending_metrics = None
-        metrics = jax.device_get(metrics)
+        prev, self._pending_metrics = self._pending_metrics, None
+        if force or (prev[2] + 1) % self.gather_metric_period == 0:
+            self._flush_one(prev)
+
+    def _flush_one(self, pending) -> None:
+        metrics, data_time, rec_iter = pending
+        if isinstance(metrics, tuple) and len(metrics) == 2 and isinstance(metrics[0], tuple):
+            keys, arr = metrics  # packed form: one transfer for all scalars
+            metrics = dict(zip(keys, np.asarray(arr)))
+        else:
+            metrics = jax.device_get(metrics)
         total = float(metrics.get("total_loss", 0.0))
         if self.nan_guard and not np.isfinite(total):
-            raise FloatingPointError(f"Loss became {total} at iteration {self.iter}; aborting (NaN guard)")
+            raise FloatingPointError(f"Loss became {total} at iteration {rec_iter}; aborting (NaN guard)")
         if self.storage is not None:
-            self.storage.put_scalar("data_time", data_time, smoothing_hint=True)
-            for k, v in metrics.items():
-                self.storage.put_scalar(k, float(np.asarray(v)), smoothing_hint=True)
+            cur = self.storage.iter
+            self.storage.iter = rec_iter
+            try:
+                self.storage.put_scalar("data_time", data_time, smoothing_hint=True)
+                for k, v in metrics.items():
+                    self.storage.put_scalar(k, float(np.asarray(v)), smoothing_hint=True)
+            finally:
+                self.storage.iter = cur
 
 
 # ---------------------------------------------------------------------------
@@ -277,19 +293,24 @@ class FocoosTrainer:
             from focoos_tpu.trainer.train_step import build_multi_train_step
 
             step_fn = build_multi_train_step(
-                loss_fn, tx, spc, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state
+                loss_fn, tx, spc, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state,
+                pack_metrics=True,
             )
             logger.info(f"Multi-step dispatch: {spc} optimizer steps per host call")
         else:
-            step_fn = build_train_step(loss_fn, tx, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state)
+            step_fn = build_train_step(loss_fn, tx, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state,
+                                       pack_metrics=True)
         state = replicate(state, mesh)
 
         loader = self._build_loader()
+        from focoos_tpu.data.loaders import device_prefetch
 
         def device_batches():
             for batch in loader:
-                # multi-step: host batches are stacked in the loop, then
-                # placed by the jit in_shardings (leading K axis unsharded)
+                # device placement happens HERE, inside the prefetch thread,
+                # so the upload of batch k+1 overlaps step k's compute.
+                # multi-step: leaves are stacked in the loop; jit in_shardings
+                # places the stacked [K, ...] batch (leading axis unsharded).
                 yield batch if spc > 1 else shard_batch(batch, mesh)
 
         ckpt_dir = args.ckpt_dir or os.path.join(self.run_dir, "ckpt")
@@ -307,7 +328,7 @@ class FocoosTrainer:
         loop = TrainerLoop(
             step_fn,
             state,
-            device_batches(),
+            device_prefetch(device_batches()),
             max_iter=args.max_iters,
             start_iter=start_iter,
             gather_metric_period=args.gather_metric_period,
@@ -396,7 +417,9 @@ class FocoosTrainer:
             return None
         from focoos_tpu.trainer.evaluation import evaluate_dataset
 
-        state = jax.device_get(loop.state)
+        # keep params on device: the eval forward consumes them in place
+        # (device_get would round-trip the full parameter set through host)
+        state = loop.state
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         old = self.model.variables
         self.model.variables = variables
@@ -416,7 +439,7 @@ class FocoosTrainer:
             return None
         from focoos_tpu.utils.vision import annotate_image
 
-        state = jax.device_get(loop.state)
+        state = loop.state  # device params feed the jitted forward directly
         old = self.model.variables
         self.model.variables = {"params": state.params, "batch_stats": state.batch_stats}
         self.model.processor.train(False)
