@@ -351,6 +351,11 @@ class TrainerArgs:
     # Hook periods (log/ckpt/eval) should be multiples of this.
     steps_per_call: int = 1
     mesh_shape: Optional[Tuple[int, ...]] = None  # default: (num_devices,) data mesh
+    # State-sharding strategy over the mesh: "dp" (replicated, the reference's
+    # DDP), "fsdp" (ZeRO-3 leaf sharding over `data`), "tp" (Megatron
+    # attention/MLP sharding over `model` — needs a 2-D mesh_shape), or
+    # "fsdp_tp" (both). See parallel/sharding.py.
+    sharding: str = "dp"
 
     # Back-compat aliases for reference scripts.
     @property

@@ -117,6 +117,7 @@ def build_train_step(
     ema_decay_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     donate: bool = True,
     pack_metrics: bool = False,
+    state_shardings: Any = None,
 ):
     """Compile a full train step.
 
@@ -125,6 +126,11 @@ def build_train_step(
     With ``pack_metrics`` the metrics come back as ``(keys, stacked_array)``
     — one device→host transfer instead of one per scalar (the trainer uses
     this; tests and tools keep the plain dict).
+
+    ``state_shardings`` (a TrainState-shaped pytree of NamedShardings, see
+    parallel/sharding.state_shardings) turns on FSDP/TP: the state enters and
+    leaves the step sharded; GSPMD inserts the per-layer all-gathers and
+    reduce-scatters. Default (None) replicates the state — plain DP.
     """
     step_fn = _make_step_body(loss_fn, tx, ema_decay_fn)
     keys_cell = None
@@ -136,10 +142,11 @@ def build_train_step(
     else:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        st = repl if state_shardings is None else state_shardings
         jitted = jax.jit(
             step_fn,
-            in_shardings=(repl, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(st, data, repl),
+            out_shardings=(st, repl),
             donate_argnums=(0,) if donate else (),
         )
     return _host_unpack(jitted, keys_cell) if pack_metrics else jitted
@@ -153,6 +160,7 @@ def build_multi_train_step(
     ema_decay_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     donate: bool = True,
     pack_metrics: bool = False,
+    state_shardings: Any = None,
 ):
     """K optimizer steps per host dispatch via ``lax.scan``.
 
@@ -186,10 +194,11 @@ def build_multi_train_step(
     else:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(None, "data"))  # leading K axis unsharded
+        st = repl if state_shardings is None else state_shardings
         jitted = jax.jit(
             multi_fn,
-            in_shardings=(repl, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(st, data, repl),
+            out_shardings=(st, repl),
             donate_argnums=(0,) if donate else (),
         )
     return _host_unpack(jitted, keys_cell) if pack_metrics else jitted

@@ -271,8 +271,14 @@ class FocoosTrainer:
 
         # mesh + optimizer + compiled step
         n_dev = len(jax.devices()) if args.num_devices in (-1, 0) else args.num_devices
-        mesh = make_mesh((n_dev,), devices=jax.devices()[:n_dev])
-        logger.info(f"Training on mesh {mesh} | global batch {args.batch_size}")
+        if args.mesh_shape and len(args.mesh_shape) == 2:
+            from focoos_tpu.parallel.sharding import make_mesh_2d
+
+            mesh = make_mesh_2d(*args.mesh_shape, devices=jax.devices()[:n_dev])
+        else:
+            shape = tuple(args.mesh_shape) if args.mesh_shape else (n_dev,)
+            mesh = make_mesh(shape, devices=jax.devices()[:n_dev])
+        logger.info(f"Training on mesh {mesh} | global batch {args.batch_size} | sharding={args.sharding}")
 
         # freeze wiring (reference: resnet.py:221 freeze_at, trainer.py:329 freeze_bn)
         freeze_paths = _freeze_paths_for(model)
@@ -289,18 +295,28 @@ class FocoosTrainer:
         loss_fn = _make_family_loss_fn(model)
         ema_fn = ema_decay_schedule(args.ema_decay, args.ema_warmup) if args.ema_enabled else None
         spc = max(1, int(getattr(args, "steps_per_call", 1)))
+        st_shard = None
+        if getattr(args, "sharding", "dp") != "dp":
+            from focoos_tpu.parallel.sharding import state_shardings as _state_shardings
+
+            st_shard = _state_shardings(state, mesh, mode=args.sharding)
         if spc > 1:
             from focoos_tpu.trainer.train_step import build_multi_train_step
 
             step_fn = build_multi_train_step(
                 loss_fn, tx, spc, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state,
-                pack_metrics=True,
+                pack_metrics=True, state_shardings=st_shard,
             )
             logger.info(f"Multi-step dispatch: {spc} optimizer steps per host call")
         else:
             step_fn = build_train_step(loss_fn, tx, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state,
-                                       pack_metrics=True)
-        state = replicate(state, mesh)
+                                       pack_metrics=True, state_shardings=st_shard)
+        if st_shard is None:
+            state = replicate(state, mesh)
+        else:
+            from focoos_tpu.parallel.sharding import device_put_state
+
+            state = device_put_state(state, st_shard)
 
         loader = self._build_loader()
         from focoos_tpu.data.loaders import device_prefetch
@@ -321,7 +337,10 @@ class FocoosTrainer:
             loaded, ok = checkpointer.resume_or_load(None, resume=True)
             if ok:
                 state, resume_extra = loaded
-                state = replicate(state, mesh)
+                if st_shard is None:
+                    state = replicate(state, mesh)
+                else:
+                    state = device_put_state(state, st_shard)
                 start_iter = int(resume_extra.get("iteration", -1)) + 1
                 logger.info(f"Resumed from iteration {start_iter}")
 
