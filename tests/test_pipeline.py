@@ -1,0 +1,154 @@
+"""GPipe pipeline parallelism (parallel/pipeline.py).
+
+The reference has no pipeline-parallel capability (DDP only,
+focoos/utils/distributed/dist.py) — this is TPU headroom. The contract
+under test: pipelining is a pure SCHEDULE change — forward values and every
+gradient (stage params, shared params, inputs, per-sample consts) must
+match plain sequential execution exactly (float tolerance), including when
+composed with batch sharding over a `data` mesh axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from focoos_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from focoos_tpu.parallel.pipeline import PIPE_AXIS, pipeline_apply, stack_stage_params
+
+S, B, D, M = 4, 8, 16, 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh((2, S), axis_names=(DATA_AXIS, PIPE_AXIS), devices=jax.devices()[:8])
+
+
+def _mlp_stages(key):
+    return [
+        {
+            "w": jax.random.normal(jax.random.fold_in(key, i), (D, D)) / np.sqrt(D),
+            "b": jax.random.normal(jax.random.fold_in(key, 100 + i), (D,)) * 0.1,
+        }
+        for i in range(S)
+    ]
+
+
+def _stage_fn(p, c, k, sh, idx):
+    h = jnp.tanh(c @ p["w"] + p["b"] + k @ sh["ws"])
+    h = jnp.where(idx == 0, h * 1.5, h)  # stage-dependent behavior via axis_index
+    return h, {"normsq": (h * h).sum(axis=-1)}
+
+
+def _sequential(params_list, x, k, sh):
+    outs, c = [], x
+    for i, p in enumerate(params_list):
+        c, o = _stage_fn(p, c, k, sh, jnp.int32(i))
+        outs.append(o["normsq"])
+    return c, jnp.stack(outs)
+
+
+@pytest.mark.parametrize("batch_spec", [P(), P(DATA_AXIS)])
+def test_pipeline_matches_sequential_fwd_and_grads(mesh, batch_spec):
+    key = jax.random.PRNGKey(0)
+    per_stage = _mlp_stages(key)
+    stacked = stack_stage_params(per_stage)
+    x = jax.random.normal(jax.random.fold_in(key, 999), (B, D))
+    k = jax.random.normal(jax.random.fold_in(key, 555), (B, D)) * 0.5
+    sh = {"ws": jax.random.normal(jax.random.fold_in(key, 777), (D, D)) / np.sqrt(D)}
+
+    def piped(stacked, x, k, sh):
+        c, outs = pipeline_apply(
+            _stage_fn, stacked, x, M, mesh, consts=k, shared=sh, batch_spec=batch_spec
+        )
+        return c, outs["normsq"]
+
+    c1, o1 = _sequential(per_stage, x, k, sh)
+    c2, o2 = jax.jit(piped)(stacked, x, k, sh)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6, atol=1e-6)
+
+    def loss_seq(params_list, x, k, sh):
+        c, o = _sequential(params_list, x, k, sh)
+        return (c**2).mean() + o.mean()
+
+    def loss_pipe(stacked, x, k, sh):
+        c, o = piped(stacked, x, k, sh)
+        return (c**2).mean() + o.mean()
+
+    # grads w.r.t. stage params, inputs, per-sample consts AND shared params
+    g1 = jax.grad(loss_seq, argnums=(0, 1, 2, 3))(per_stage, x, k, sh)
+    g2 = jax.jit(jax.grad(loss_pipe, argnums=(0, 1, 2, 3)))(stacked, x, k, sh)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        (stack_stage_params(g1[0]),) + g1[1:],
+        g2,
+    )
+
+
+def test_pipeline_real_decoder_layer(mesh):
+    """The flagship's actual DecoderLayer (self-attn + deformable cross-attn +
+    FFN, models/fai_detr/modelling.py) run as a 4-stage pipeline with
+    per-level NHWC value maps as per-sample consts — values and param grads
+    must match the sequential stack."""
+    from focoos_tpu.models.fai_detr.modelling import DecoderLayer
+
+    d_model, n_head, lq = 32, 4, 12
+    shapes = [(8, 8), (4, 4)]
+    layer = DecoderLayer(d_model, n_head, dim_feedforward=64, n_levels=2, n_points=2)
+
+    key = jax.random.PRNGKey(3)
+    tgt = jax.random.normal(key, (B, lq, d_model))
+    ref = jax.random.uniform(jax.random.fold_in(key, 1), (B, lq, 1, 4), minval=0.2, maxval=0.8)
+    maps = [
+        jax.random.normal(jax.random.fold_in(key, 10 + i), (B, h, w, d_model)) * 0.3
+        for i, (h, w) in enumerate(shapes)
+    ]
+    per_stage = [
+        layer.init(jax.random.fold_in(key, 50 + i), tgt[:1], ref[:1], [m[:1] for m in maps], shapes)[
+            "params"
+        ]
+        for i in range(S)
+    ]
+    stacked = stack_stage_params(per_stage)
+
+    def stage_fn(p, c, k, sh, idx):
+        out = layer.apply({"params": p}, c, k["ref"], [k["m0"], k["m1"]], shapes)
+        return out, {"mean": out.mean(axis=(-1, -2))}
+
+    consts = {"ref": ref, "m0": maps[0], "m1": maps[1]}
+
+    def seq(params_list, tgt, consts):
+        c, outs = tgt, []
+        for p in params_list:
+            c = layer.apply({"params": p}, c, consts["ref"], [consts["m0"], consts["m1"]], shapes)
+            outs.append(c.mean(axis=(-1, -2)))
+        return c, jnp.stack(outs)
+
+    def piped(stacked, tgt, consts):
+        c, outs = pipeline_apply(stage_fn, stacked, tgt, M, mesh, consts=consts)
+        return c, outs["mean"]
+
+    c1, o1 = seq(per_stage, tgt, consts)
+    c2, o2 = jax.jit(piped)(stacked, tgt, consts)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-6)
+
+    g1 = stack_stage_params(
+        jax.grad(lambda ps, t, k: (seq(ps, t, k)[0] ** 2).mean())(per_stage, tgt, consts)
+    )
+    g2 = jax.jit(jax.grad(lambda st, t, k: (piped(st, t, k)[0] ** 2).mean()))(stacked, tgt, consts)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6),
+        g1,
+        g2,
+    )
+
+
+def test_pipeline_rejects_bad_microbatch():
+    with pytest.raises(AssertionError):
+        from focoos_tpu.parallel.pipeline import _split_micro
+
+        _split_micro(jnp.zeros((10, 3)), 4)
