@@ -32,6 +32,10 @@ def _add_trainer_args(p: argparse.ArgumentParser) -> None:
             p.add_argument(arg, type=int, default=None)
         elif isinstance(f.default, float):
             p.add_argument(arg, type=float, default=None)
+        elif f.name == "mesh_shape":
+            # "--mesh-shape 4,2" -> (4, 2): a 2-D (data x model) mesh; pair
+            # with --sharding fsdp/tp/fsdp_tp (parallel/sharding.py)
+            p.add_argument(arg, type=lambda s: tuple(int(x) for x in s.split(",")), default=None)
         elif isinstance(f.default, str) or f.default is None:
             p.add_argument(arg, type=str, default=None)
 
