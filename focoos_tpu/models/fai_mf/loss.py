@@ -45,6 +45,15 @@ def _pair_dice(out_pts: jnp.ndarray, tgt_pts: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - (num + 1.0) / (den + 1.0)
 
 
+def _matcher_coords(rng: jnp.ndarray, b: int, num_points: int) -> jnp.ndarray:
+    """One shared uniform point set per image (reference :689-702).
+
+    Module-level so the loss-parity harness (tools/parity_loss.py) can pin it
+    to a deterministic grid on both frameworks.
+    """
+    return jax.random.uniform(rng, (b, 1, num_points, 2), jnp.float32)
+
+
 def _match_one_layer(
     rng: jnp.ndarray,
     logits: jnp.ndarray,  # [B, Q, C+1]
@@ -64,7 +73,7 @@ def _match_one_layer(
     # cost_class[b, q, n] = -prob[b, q, label_n]
     cost_class = -jnp.take_along_axis(probs, targets.labels[:, None, :], axis=2)
 
-    coords = jax.random.uniform(rng, (b, 1, num_points, 2), jnp.float32)
+    coords = _matcher_coords(rng, b, num_points)
 
     def per_image(msk_q, msk_n, coord):
         out_pts = point_sample(msk_q.astype(jnp.float32), jnp.broadcast_to(coord, (q, num_points, 2)))

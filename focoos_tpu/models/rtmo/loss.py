@@ -224,7 +224,8 @@ def rtmo_criterion(
     dcc = DCC(cfg)
     dcc_vars = {"params": variables["params"]["dcc"], "batch_stats": variables["batch_stats"]["dcc"]}
     (kpt_cc, (px_prob, py_prob), sigmas), dcc_updates = dcc.apply(
-        dcc_vars, p_pose, bbox_cs, p_prior.astype(jnp.float32), train=True, mutable=["batch_stats"]
+        dcc_vars, p_pose, bbox_cs, p_prior.astype(jnp.float32), train=True, mask=sel_valid,
+        mutable=["batch_stats"],
     )
     hm_x, hm_y = dcc.target_heatmaps(t_kpts, bbox_cs, jax.lax.stop_gradient(sigmas), t_areas)
     prob = jnp.sum(px_prob * hm_x, -1) * jnp.sum(py_prob * hm_y, -1)  # [B, P, K]

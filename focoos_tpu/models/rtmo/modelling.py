@@ -292,6 +292,49 @@ class GAUEncoder(nn.Module):
         return x * res_scale.astype(x.dtype) + out
 
 
+class _MaskedBatchNorm(nn.Module):
+    """BatchNorm1d whose TRAIN statistics can be restricted to valid rows.
+
+    The criterion path feeds DCC a STATIC p_max-slot gather of the SimOTA
+    positives (loss.py::_gather_positives); without masking, the padding
+    slots' pose features would enter the batch statistics, which the
+    reference never sees (it runs DCC on exactly the positives,
+    focoos/models/rtmo/modelling.py:1002-1009). Variable layout mirrors
+    flax.linen.BatchNorm exactly (params scale/bias, batch_stats mean/var),
+    so checkpoints and the torch weight converter are unaffected.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool, mask: Optional[jnp.ndarray] = None):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        use_batch = not bn_use_running(train)  # honors trace-time FREEZE_ALL_BN
+        if use_batch:
+            xf = x.astype(jnp.float32).reshape(-1, feat)
+            if mask is None:
+                w = jnp.ones((xf.shape[0],), jnp.float32)
+            else:
+                w = mask.astype(jnp.float32).reshape(-1)
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(xf * w[:, None], axis=0) / n
+            var = jnp.sum(jnp.square(xf - mean) * w[:, None], axis=0) / n
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype or x.dtype)
+
+
 class DCC(nn.Module):
     """Dynamic coordinate classifier (reference :383-668)."""
 
@@ -306,9 +349,18 @@ class DCC(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, pose_feats: jnp.ndarray, bbox_cs: jnp.ndarray, grids: jnp.ndarray, train: bool = False):
+    def __call__(
+        self,
+        pose_feats: jnp.ndarray,
+        bbox_cs: jnp.ndarray,
+        grids: jnp.ndarray,
+        train: bool = False,
+        mask: Optional[jnp.ndarray] = None,
+    ):
         """pose_feats [..., C_pose]; bbox_cs [..., 4] (cx, cy, sw, sh);
-        grids [..., 2] → (keypoints [..., K, 2] abs, (x_probs, y_probs), sigmas)."""
+        grids [..., 2] → (keypoints [..., K, 2] abs, (x_probs, y_probs), sigmas).
+        ``mask`` (broadcastable to pose_feats[..., 0]) restricts train-mode BN
+        statistics to valid slots — see _MaskedBatchNorm."""
         cfg = self.cfg
         K, F = cfg.num_keypoints, cfg.feat_channels_dcc
         xb_np, yb_np = self._bins()
@@ -330,9 +382,10 @@ class DCC(nn.Module):
 
         # pose features → K keypoint tokens (Linear + BatchNorm1d folded math)
         kf = nn.Dense(F * K, dtype=self.dtype, name="pose_to_kpts_fc")(pose_feats)
-        # BatchNorm1d over the flattened feature dim
-        kf = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5,
-                          dtype=self.dtype, name="pose_to_kpts_bn")(kf)
+        # BatchNorm1d over the flattened feature dim; masked in the criterion
+        # path so the static positive-slot padding stays out of the statistics
+        kf = _MaskedBatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                              name="pose_to_kpts_bn")(kf, train=train, mask=mask)
         kf = kf.reshape(*kf.shape[:-1], K, F)
 
         pos_enc = self.param("pos_enc", nn.initializers.normal(1.0), (K, cfg.gau_s))

@@ -144,6 +144,10 @@ def _stub_missing_modules():
                     return MagicMock(name=f"{_n}.{attr}")
 
                 stub.__getattr__ = _getattr
+                if name == "torchvision":
+                    # MagicMock here is truthy, sending the reference's
+                    # nested_tensor_from_tensor_list into its ONNX branch
+                    stub._is_tracing = lambda: False
                 sys.modules[name] = stub
 
 

@@ -1,0 +1,452 @@
+"""Training-LOSS parity: focoos_tpu criterions vs the reference torch criterions.
+
+Complements tools/parity.py (module forwards) and tools/parity_e2e.py
+(inference pipelines): this runs the same converted weights + the same batch
++ the same targets through BOTH frameworks' full training losses
+(matcher → per-layer criterion → weighting → normalization) and asserts the
+weighted loss components agree. It is the training-side slice of the
+dataset-accuracy-parity story that is provable offline: if the forward, the
+matching, the loss math, and the normalization all agree, fine-tuning departs
+from the reference only through optimizer/init seeds.
+
+Per family:
+  fai_detr       — VFL + L1 + GIoU, Hungarian (scipy) vs auction matching,
+                   deep supervision incl. encoder layer
+                   (reference: focoos/models/fai_detr/modelling.py:409-612)
+  fai_cls        — BCE/CE logits loss (focoos/models/fai_cls/modelling.py)
+  fai_mf /
+  bisenetformer  — CE + dice + sigmoid-CE mask losses with POINT SAMPLING:
+                   the reference samples mask points with torch RNG
+                   (get_uncertain_point_coords_with_randomness); for parity
+                   both sides are pinned to the deterministic regime
+                   importance_sample_ratio=1 (pure uncertainty top-k)
+                   (reference: focoos/models/fai_mf/loss.py)
+  rtmo           — SimOTA assignment + OKS/IoU/cls losses
+                   (reference: focoos/models/rtmo/loss.py)
+
+Comparison scheme: last-layer components by key; aux layers as a SORTED
+multiset per loss type (the two frameworks suffix aux layers differently);
+plus the weighted grand total.
+
+Usage: python tools/parity_loss.py [fai_detr|fai_cls|fai_mf|bisenetformer|rtmo|all]
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parity import load_converted, make_jax_backbone, make_torch_backbone_cfg  # noqa: E402
+
+TOL = 5e-4
+
+
+def _cmp_scalar(name, j, t, tol=TOL):
+    j, t = float(j), float(t)
+    d = abs(j - t)
+    rel = d / max(abs(t), 1e-6)
+    ok = d < tol or rel < tol
+    print(f"  {name}: jax={j:.6f} torch={t:.6f} |Δ|={d:.2e} {'OK' if ok else '** MISMATCH **'}")
+    return ok
+
+
+def _cmp_groups(jax_losses: dict, torch_losses: dict, types) -> bool:
+    """Compare last-layer keys exactly; aux layers as sorted multisets."""
+    ok = True
+    jtot = sum(float(v) for v in jax_losses.values())
+    ttot = sum(float(v) for v in torch_losses.values())
+    ok &= _cmp_scalar("total(all weighted terms)", jtot, ttot, tol=2e-3)
+    for t in types:
+        ok &= _cmp_scalar(t, jax_losses[t], torch_losses[t])
+        jaux = sorted(float(v) for k, v in jax_losses.items() if k.startswith(t + "_"))
+        taux = sorted(float(v) for k, v in torch_losses.items() if k.startswith(t + "_"))
+        if len(jaux) != len(taux):
+            print(f"  {t}_aux: count mismatch jax={len(jaux)} torch={len(taux)} ** MISMATCH **")
+            ok = False
+            continue
+        for i, (a, b) in enumerate(zip(jaux, taux)):
+            ok &= _cmp_scalar(f"{t}_aux[{i}] (sorted)", a, b)
+    return ok
+
+
+def _ragged_targets_detr(rng, b, n, num_classes):
+    """Same targets in both formats: ragged torch list / padded jax struct."""
+    import torch
+
+    from focoos_tpu.models.fai_detr.ports import DETRTargets as JT
+
+    counts = rng.integers(1, n + 1, b)
+    labels = rng.integers(0, num_classes, (b, n)).astype(np.int32)
+    cxy = rng.uniform(0.25, 0.75, (b, n, 2))
+    wh = rng.uniform(0.1, 0.4, (b, n, 2))
+    boxes = np.concatenate([cxy, wh], -1).astype(np.float32)
+    valid = np.arange(n)[None] < counts[:, None]
+
+    from focoos.models.fai_detr.ports import DETRTargets as TT
+
+    tt = [
+        TT(labels=torch.from_numpy(labels[i, : counts[i]]).long(),
+           boxes=torch.from_numpy(boxes[i, : counts[i]]))
+        for i in range(b)
+    ]
+    import jax.numpy as jnp
+
+    jt = JT(labels=jnp.asarray(labels), boxes=jnp.asarray(boxes), valid=jnp.asarray(valid))
+    return tt, jt
+
+
+def loss_parity_fai_detr(backbone: str = "resnet") -> bool:
+    import torch
+
+    torch.manual_seed(0)
+    from focoos.models.fai_detr.config import DETRConfig as TC
+    from focoos.models.fai_detr.modelling import FAIDetr as TM
+
+    tcfg = TC(num_classes=13, backbone_config=make_torch_backbone_cfg(backbone), num_queries=50,
+              transformer_predictor_dec_layers=3)
+    tmodel = TM(tcfg).train()
+
+    from focoos_tpu.models.fai_detr.config import DETRConfig
+    from focoos_tpu.models.fai_detr.loss import detr_criterion
+    from focoos_tpu.models.fai_detr.modelling import FAIDetr
+
+    bcfg, bmodule = make_jax_backbone(backbone)
+    cfg = DETRConfig(num_classes=13, backbone_config=bcfg, num_queries=50, transformer_predictor_dec_layers=3)
+    module = FAIDetr(config=cfg, backbone=bmodule)
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 255, (2, 128, 128, 3)).astype(np.float32)
+    merged, clean = load_converted(module, "fai_detr", tmodel, x)
+
+    tt, jt = _ragged_targets_detr(rng, 2, 6, 13)
+
+    with torch.no_grad():
+        out_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)), tt)
+    torch_losses = {k: float(v) for k, v in out_t.loss.items()}
+
+    (_, aux), _ = module.apply(merged, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    jax_losses = {k: float(v) for k, v in detr_criterion(aux, jt, cfg).items() if k != "total"}
+
+    return _cmp_groups(jax_losses, torch_losses, ["loss_vfl", "loss_bbox", "loss_giou"]) and clean
+
+
+def loss_parity_fai_cls(backbone: str = "resnet") -> bool:
+    import torch
+
+    torch.manual_seed(0)
+    from focoos.models.fai_cls.config import ClassificationConfig as TC
+    from focoos.models.fai_cls.modelling import FAIClassification as TM
+
+    # dropout is stochastic in torch train mode — pin it off on both sides
+    tcfg = TC(num_classes=9, backbone_config=make_torch_backbone_cfg(backbone), dropout_rate=0.0)
+    tmodel = TM(tcfg).train()
+
+    from focoos_tpu.models.fai_cls.config import ClassificationConfig
+    from focoos_tpu.models.fai_cls.loss import classification_loss
+    from focoos_tpu.models.fai_cls.modelling import FAIClassification
+    from focoos_tpu.models.fai_cls.ports import ClassificationTargets
+
+    bcfg, bmodule = make_jax_backbone(backbone)
+    cfg = ClassificationConfig(num_classes=9, backbone_config=bcfg, dropout_rate=0.0)
+    module = FAIClassification(config=cfg, backbone=bmodule)
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 255, (4, 96, 96, 3)).astype(np.float32)
+    merged, clean = load_converted(module, "fai_cls", tmodel, x)
+
+    onehot = np.eye(9, dtype=np.float32)[rng.integers(0, 9, (4,))]
+    from focoos.models.fai_cls.ports import ClassificationTargets as TT
+
+    tt = [TT(labels=torch.from_numpy(onehot[i])) for i in range(4)]
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        # reference normalizes in the processor; replicate before model call
+        mean = torch.tensor(tcfg.pixel_mean).view(1, -1, 1, 1)
+        std = torch.tensor(tcfg.pixel_std).view(1, -1, 1, 1)
+        out_t = tmodel((xt - mean) / std, tt)
+    torch_losses = {k: float(v) for k, v in out_t.loss.items()}
+
+    (out_j, _), _ = module.apply(
+        merged, jnp.asarray(x), train=True, mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)}
+    )
+    jt = ClassificationTargets(labels=jnp.asarray(onehot))
+    jl = classification_loss(out_j.logits, jt, cfg)
+    jax_losses = {k: float(v) for k, v in jl.items() if k != "total"}
+
+    ok = True
+    for k in torch_losses:
+        ok &= _cmp_scalar(k, jax_losses.get(k, float("nan")), torch_losses[k])
+    return ok and clean
+
+
+def _point_grid(p: int):
+    """Deterministic sqrt(p)×sqrt(p) grid of (x, y) centers in (0, 1)."""
+    g = int(np.sqrt(p))
+    assert g * g == p
+    c = (np.arange(g, dtype=np.float32) + 0.5) / g
+    xx, yy = np.meshgrid(c, c, indexing="xy")
+    return np.stack([xx.reshape(-1), yy.reshape(-1)], -1)  # [P, 2]
+
+
+def _block_mask_targets(rng, b, n, img_hw, mask_hw, num_classes):
+    """Same GT in both formats. Masks are constant over (img/blocks) blocks so
+    the full-res (torch) and mask-res (jax) copies point-sample IDENTICALLY at
+    the deterministic grid (every sample point's bilinear neighborhood sits
+    inside one block at both resolutions)."""
+    import torch
+
+    g = 4  # block grid
+    bits = rng.random((b, n, g, g)) > 0.55
+    bits[..., 1:3, 1:3] |= rng.random((b, n, 2, 2)) > 0.5
+    bits[:, :, 0, 0] = True  # never empty
+    up_img = np.kron(bits, np.ones((img_hw[0] // g, img_hw[1] // g))).astype(np.float32)
+    up_msk = np.kron(bits, np.ones((mask_hw[0] // g, mask_hw[1] // g))).astype(np.float32)
+    labels = rng.integers(0, num_classes, (b, n)).astype(np.int32)
+    counts = rng.integers(1, n + 1, b)
+    valid = np.arange(n)[None] < counts[:, None]
+
+    from focoos.models.fai_mf.ports import MaskFormerTargets as TT
+
+    tt = [
+        TT(labels=torch.from_numpy(labels[i, : counts[i]]).long(),
+           masks=torch.from_numpy(up_img[i, : counts[i]]))
+        for i in range(b)
+    ]
+    import jax.numpy as jnp
+
+    from focoos_tpu.models.fai_mf.ports import MaskFormerTargets as JT
+
+    jt = JT(labels=jnp.asarray(labels), masks=jnp.asarray(up_msk), valid=jnp.asarray(valid))
+    return tt, jt
+
+
+def _loss_parity_mask_family(family: str, backbone: str = "resnet") -> bool:
+    """Shared mask-classification criterion parity (fai_mf / bisenetformer).
+
+    Both frameworks sample mask points randomly (reference: torch.rand in the
+    matcher + get_uncertain_point_coords_with_randomness in the loss;
+    ours: jax.random). RNGs cannot be aligned across frameworks, so BOTH are
+    pinned to the same deterministic point grid for the comparison — this
+    still exercises matcher costs, auction-vs-scipy assignment, CE/dice/BCE
+    math, deep supervision, weighting and num_masks normalization.
+    """
+    import torch
+
+    torch.manual_seed(0)
+    num_points = 16
+    kw = dict(
+        num_classes=7, num_queries=20, transformer_predictor_dec_layers=4,
+        pixel_decoder_feat_dim=64, pixel_decoder_out_dim=64,
+        transformer_predictor_hidden_dim=64, transformer_predictor_out_dim=64,
+        criterion_num_points=num_points,
+    )
+    if family == "fai_mf":
+        from focoos.models.fai_mf.config import MaskFormerConfig as TC
+        from focoos.models.fai_mf.modelling import FAIMaskFormer as TM
+        import focoos.models.fai_mf.loss as tfl
+
+        from focoos_tpu.models.fai_mf.config import MaskFormerConfig as JC
+        from focoos_tpu.models.fai_mf.modelling import FAIMaskFormer as JM
+
+        tcfg = TC(backbone_config=make_torch_backbone_cfg(backbone), pixel_decoder_transformer_layers=1, **kw)
+        jkw = dict(kw, pixel_decoder_transformer_layers=1)
+        mask_hw = (32, 32)  # mask features at H/4
+    else:
+        from focoos.models.bisenetformer.config import BisenetFormerConfig as TC
+        from focoos.models.bisenetformer.modelling import BisenetFormer as TM
+        import focoos.models.bisenetformer.loss as tfl
+
+        from focoos_tpu.models.bisenetformer.config import BisenetFormerConfig as JC
+        from focoos_tpu.models.bisenetformer.modelling import BisenetFormer as JM
+
+        tcfg = TC(backbone_config=make_torch_backbone_cfg(backbone), **kw)
+        jkw = kw
+        mask_hw = (16, 16)  # bisenet head emits masks at H/8
+
+    tmodel = TM(tcfg).train()
+
+    bcfg, bmodule = make_jax_backbone(backbone)
+    module = JM(config=JC(backbone_config=bcfg, **jkw), backbone=bmodule)
+    jcfg = module.config
+
+    import jax
+    import jax.numpy as jnp
+
+    import focoos_tpu.models.fai_mf.loss as jfl
+    from focoos_tpu.models.fai_mf.loss import maskformer_criterion
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 255, (2, 128, 128, 3)).astype(np.float32)
+    merged, clean = load_converted(module, family, tmodel, x)
+
+    tt, jt = _block_mask_targets(rng, 2, 5, (128, 128), mask_hw, 7)
+    grid = _point_grid(num_points)
+
+    # pin both frameworks' point sampling to the same deterministic grid
+    tgrid = torch.from_numpy(grid)
+    orig_rand, orig_unc = torch.rand, tfl.get_uncertain_point_coords_with_randomness
+    orig_mc, orig_usc = jfl._matcher_coords, jfl.uncertainty_sampled_coords
+
+    def fake_rand(*shape, **kwargs):
+        if tuple(shape) == (1, num_points, 2):
+            return tgrid[None].to(**{k: v for k, v in kwargs.items() if k in ("device", "dtype")})
+        return orig_rand(*shape, **kwargs)
+
+    try:
+        torch.rand = fake_rand
+        tfl.get_uncertain_point_coords_with_randomness = (
+            lambda logits, fn, p, o, i: tgrid[None].expand(logits.shape[0], p, 2).to(logits.device)
+        )
+        jfl._matcher_coords = lambda r, b, p: jnp.broadcast_to(jnp.asarray(grid)[None, None], (b, 1, p, 2))
+        jfl.uncertainty_sampled_coords = (
+            lambda r, src, p, o, i: jnp.broadcast_to(jnp.asarray(grid)[None], (src.shape[0], p, 2))
+        )
+
+        with torch.no_grad():
+            out_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)), tt)
+        torch_losses = {k: float(v) for k, v in out_t.loss.items()}
+
+        (_, aux), _ = module.apply(
+            merged, jnp.asarray(x), train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        jl = maskformer_criterion(jax.random.PRNGKey(1), aux, jt, jcfg)
+        jax_losses = {k: float(v) for k, v in jl.items() if k != "total"}
+    finally:
+        torch.rand = orig_rand
+        tfl.get_uncertain_point_coords_with_randomness = orig_unc
+        jfl._matcher_coords = orig_mc
+        jfl.uncertainty_sampled_coords = orig_usc
+
+    return _cmp_groups(jax_losses, torch_losses, ["loss_ce", "loss_mask", "loss_dice"]) and clean
+
+
+def loss_parity_fai_mf() -> bool:
+    return _loss_parity_mask_family("fai_mf")
+
+
+def loss_parity_bisenetformer() -> bool:
+    return _loss_parity_mask_family("bisenetformer")
+
+
+def loss_parity_rtmo() -> bool:
+    """SimOTA assignment + IoU/OKS/vis/MLE/VFL losses
+    (reference: focoos/models/rtmo/modelling.py:950-1045 + loss.py)."""
+    import torch
+
+    torch.manual_seed(0)
+    from focoos.models.rtmo.config import RTMOConfig as TC
+    from focoos.models.rtmo.modelling import RTMO as TM
+
+    tcfg = TC(num_classes=1, backbone_config=make_torch_backbone_cfg("csp_darknet"))
+    tmodel = TM(tcfg).train()
+
+    from focoos_tpu.models.rtmo.config import RTMOConfig
+    from focoos_tpu.models.rtmo.loss import rtmo_criterion
+    from focoos_tpu.models.rtmo.modelling import RTMO
+    from focoos_tpu.models.rtmo.ports import KeypointTargets as JT
+
+    bcfg, bmodule = make_jax_backbone("csp_darknet")
+    cfg = RTMOConfig(num_classes=1, backbone_config=bcfg)
+    module = RTMO(config=cfg, backbone=bmodule)
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    b, n, k = 2, 4, tcfg.num_keypoints
+    x = rng.integers(0, 255, (b, 128, 128, 3)).astype(np.float32)
+    merged, clean = load_converted(module, "rtmo", tmodel, x)
+
+    # same GT, both formats: boxes xyxy abs, keypoints abs, areas = box area
+    counts = rng.integers(1, n + 1, b)
+    x0y0 = rng.uniform(8, 64, (b, n, 2)).astype(np.float32)
+    wh = rng.uniform(24, 56, (b, n, 2)).astype(np.float32)
+    boxes = np.concatenate([x0y0, np.minimum(x0y0 + wh, 127.0)], -1)
+    kpts = np.stack(
+        [rng.uniform(boxes[..., 0], boxes[..., 2], (k, b, n)).transpose(1, 2, 0),
+         rng.uniform(boxes[..., 1], boxes[..., 3], (k, b, n)).transpose(1, 2, 0)], -1
+    ).astype(np.float32)
+    vis = (rng.random((b, n, k)) > 0.2).astype(np.float32)
+    vis[..., 0] = 1.0
+    areas = ((boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])).astype(np.float32)
+    labels = np.zeros((b, n), np.int32)
+    valid = np.arange(n)[None] < counts[:, None]
+
+    from focoos.models.rtmo.ports import KeypointTargets as TT
+
+    tt = [
+        TT(boxes=torch.from_numpy(boxes[i, : counts[i]]),
+           labels=torch.from_numpy(labels[i, : counts[i]]).long(),
+           keypoints=torch.from_numpy(kpts[i, : counts[i]]),
+           keypoints_visible=torch.from_numpy(vis[i, : counts[i]]),
+           areas=torch.from_numpy(areas[i, : counts[i]]),
+           scores=None, priors=None, keypoints_visible_weights=None)
+        for i in range(b)
+    ]
+    jt = JT(labels=jnp.asarray(labels), boxes=jnp.asarray(boxes), keypoints=jnp.asarray(kpts),
+            keypoints_visible=jnp.asarray(vis), areas=jnp.asarray(areas), valid=jnp.asarray(valid))
+
+    with torch.no_grad():
+        out_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)), tt)
+    torch_losses = {kk: float(v) for kk, v in out_t.loss.items() if kk.startswith("loss")}
+
+    (_, aux), new_state = module.apply(
+        merged, jnp.asarray(x), train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    jl, _ = rtmo_criterion(
+        {"params": merged["params"], "batch_stats": new_state["batch_stats"]}, aux, jt, cfg
+    )
+    jax_losses = {kk: float(v) for kk, v in jl.items() if kk.startswith("loss")}
+
+    ok = True
+    for kk in sorted(torch_losses):
+        # loss_mle runs pose features through train-mode BN batch statistics
+        # and a GAU into -log(prob + 1e-4) of near-zero probabilities; the
+        # cross-framework f32 noise floor there is ~1% (measured: the SimOTA
+        # positives sets are IDENTICAL, sigma's offset is fully explained by
+        # the 0.02 pose-feature noise, and a 3e-4 input perturbation moves
+        # the torch loss by only 3e-4 — i.e. amplification, not semantics).
+        tol = 2e-2 if kk == "loss_mle" else 2e-3
+        ok &= _cmp_scalar(kk, jax_losses.get(kk, float("nan")), torch_losses[kk], tol=tol)
+    return ok and clean
+
+
+CHECKS = {
+    "fai_detr": loss_parity_fai_detr,
+    "fai_cls": loss_parity_fai_cls,
+    "fai_mf": loss_parity_fai_mf,
+    "bisenetformer": loss_parity_bisenetformer,
+    "rtmo": loss_parity_rtmo,
+}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # env vars are ignored under the axon plugin
+    import _reference_compat
+
+    _reference_compat.install()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    fams = list(CHECKS) if which == "all" else [which]
+    ok = True
+    for f in fams:
+        print(f"== loss parity: {f} ==")
+        ok &= CHECKS[f]()
+    print("ALL LOSS PARITY CHECKS PASSED" if ok else "LOSS PARITY FAILURES")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
