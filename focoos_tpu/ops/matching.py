@@ -62,7 +62,7 @@ def auction_assign(cost: jnp.ndarray, valid_rows: jnp.ndarray, eps: float = 1e-2
         # top-2 as max + masked max: lax.top_k lowers to a full sort on TPU
         # (measured 2.6 ms/train-step at detr-m b16); two VPU reductions give
         # the identical (first-argmax) result
-        best_j = jnp.argmax(net, axis=-1)
+        best_j = jnp.argmax(net, axis=-1).astype(jnp.int32)  # pin vs x64 mode
         top1 = jnp.max(net, axis=-1)
         col_iota = jnp.arange(q, dtype=jnp.int32)[None, :]
         second = jnp.max(jnp.where(col_iota == best_j[:, None], NEG_INF, net), axis=-1)
@@ -73,7 +73,7 @@ def auction_assign(cost: jnp.ndarray, valid_rows: jnp.ndarray, eps: float = 1e-2
         bids = jnp.full((n, q), NEG_INF, jnp.float32)
         bids = bids.at[jnp.arange(n), best_j].set(bid_amount)
         best_bid = jnp.max(bids, axis=0)  # [Q]
-        winner = jnp.argmax(bids, axis=0)  # [Q]
+        winner = jnp.argmax(bids, axis=0).astype(jnp.int32)  # [Q]
         has_bid = best_bid > NEG_INF / 2
 
         # previous owners of re-auctioned columns lose their assignment
