@@ -168,3 +168,51 @@ def test_phase_pack_stem_conv_matches_plain():
         y_ref = jax.lax.conv_general_dilated(x, k, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn)
         assert y_fast.shape == y_ref.shape
         assert float(jnp.abs(y_fast - y_ref).max()) < 5e-6
+
+
+def test_masked_batchnorm_matches_subset_stats():
+    """_MaskedBatchNorm (rtmo DCC): with a mask, train-mode statistics must
+    equal plain BN statistics computed on ONLY the valid rows — the invariant
+    that keeps the static positive-slot padding out of the criterion's BN
+    (reference runs DCC on exactly the positives, rtmo/modelling.py:1002)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from focoos_tpu.models.rtmo.modelling import _MaskedBatchNorm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(2.0, 3.0, (4, 6, 8)), jnp.float32)  # [B, P, F]
+    mask = jnp.asarray(rng.random((4, 6)) > 0.4)
+
+    mod = _MaskedBatchNorm()
+    vs = mod.init(jax.random.PRNGKey(0), x, train=True)
+    y, updated = mod.apply(vs, x, train=True, mask=mask, mutable=["batch_stats"])
+
+    # reference: plain flax BN over the flat valid subset
+    import flax.linen as nn
+
+    valid_rows = np.asarray(x.reshape(-1, 8))[np.asarray(mask).reshape(-1)]
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    rvs = ref.init(jax.random.PRNGKey(0), jnp.asarray(valid_rows))
+    y_ref, r_updated = ref.apply(rvs, jnp.asarray(valid_rows), mutable=["batch_stats"])
+
+    got = np.asarray(y.reshape(-1, 8))[np.asarray(mask).reshape(-1)]
+    np.testing.assert_allclose(got, np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["mean"]),
+        np.asarray(r_updated["batch_stats"]["mean"]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["var"]),
+        np.asarray(r_updated["batch_stats"]["var"]), rtol=2e-4, atol=2e-5)
+
+    # no mask + train: identical to plain flax BN on the full tensor
+    y2, u2 = mod.apply(vs, x, train=True, mutable=["batch_stats"])
+    flat = x.reshape(-1, 8)
+    rvs2 = ref.init(jax.random.PRNGKey(0), flat)
+    y2_ref, u2_ref = ref.apply(rvs2, flat, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y2.reshape(-1, 8)), np.asarray(y2_ref), rtol=2e-5, atol=2e-5)
+
+    # eval mode: running stats, mask ignored
+    ye = mod.apply(vs, x, train=False)
+    assert ye.shape == x.shape
