@@ -218,16 +218,22 @@ def rtmo_criterion(
     losses["loss_oks"] = 30.0 * jnp.sum((1.0 - oks_val) * vf) / jnp.maximum(jnp.sum(vf), 1.0)
 
     # --- MLE coordinate-classification loss via DCC (w=1.0)
+    # NO stop_gradient on bbox_cs or sigmas: the reference lets the MLE loss
+    # flow into the bbox branch through the bin placement (pred AND target
+    # heatmaps) and into the sigma head through the target normalization
+    # (modelling.py:1002-1008 — bbox_preds/sigmas undetached). Caught by
+    # tools/parity_loss.py grad_rtmo: stopping these gradients changed the
+    # early-backbone grads by rel ~0.8.
     cs_scale = (p_boxes[..., 2:] - p_boxes[..., :2]) * 1.25
     cs_center = (p_boxes[..., 2:] + p_boxes[..., :2]) * 0.5
-    bbox_cs = jax.lax.stop_gradient(jnp.concatenate([cs_center, cs_scale], axis=-1).astype(jnp.float32))
+    bbox_cs = jnp.concatenate([cs_center, cs_scale], axis=-1).astype(jnp.float32)
     dcc = DCC(cfg)
     dcc_vars = {"params": variables["params"]["dcc"], "batch_stats": variables["batch_stats"]["dcc"]}
     (kpt_cc, (px_prob, py_prob), sigmas), dcc_updates = dcc.apply(
         dcc_vars, p_pose, bbox_cs, p_prior.astype(jnp.float32), train=True, mask=sel_valid,
         mutable=["batch_stats"],
     )
-    hm_x, hm_y = dcc.target_heatmaps(t_kpts, bbox_cs, jax.lax.stop_gradient(sigmas), t_areas)
+    hm_x, hm_y = dcc.target_heatmaps(t_kpts, bbox_cs, sigmas, t_areas)
     prob = jnp.sum(px_prob * hm_x, -1) * jnp.sum(py_prob * hm_y, -1)  # [B, P, K]
     mle = -jnp.log(prob + 1e-4)
     mle = jnp.nan_to_num(mle) * t_vis

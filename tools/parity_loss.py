@@ -359,7 +359,7 @@ def loss_parity_bisenetformer() -> bool:
     return _loss_parity_mask_family("bisenetformer")
 
 
-def loss_parity_rtmo() -> bool:
+def loss_parity_rtmo(grads: bool = False) -> bool:
     """SimOTA assignment + IoU/OKS/vis/MLE/VFL losses
     (reference: focoos/models/rtmo/modelling.py:950-1045 + loss.py)."""
     import torch
@@ -417,8 +417,7 @@ def loss_parity_rtmo() -> bool:
     jt = JT(labels=jnp.asarray(labels), boxes=jnp.asarray(boxes), keypoints=jnp.asarray(kpts),
             keypoints_visible=jnp.asarray(vis), areas=jnp.asarray(areas), valid=jnp.asarray(valid))
 
-    with torch.no_grad():
-        out_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)), tt)
+    out_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)), tt)
     torch_losses = {kk: float(v) for kk, v in out_t.loss.items() if kk.startswith("loss")}
 
     (_, aux), new_state = module.apply(
@@ -440,7 +439,127 @@ def loss_parity_rtmo() -> bool:
         # the torch loss by only 3e-4 — i.e. amplification, not semantics).
         tol = 2e-2 if kk == "loss_mle" else 2e-3
         ok &= _cmp_scalar(kk, jax_losses.get(kk, float("nan")), torch_losses[kk], tol=tol)
+
+    if grads:
+        # The MLE loss backward cannot be compared end-to-end across
+        # frameworks: cross-framework train-mode BN forward noise (~0.02 abs
+        # on pose features after ~60 BN layers of compounding) is amplified
+        # by the DCC's large softmax logits and -log(prob+1e-4) into O(0.3)
+        # relative gradient differences — torch's own probe moves 5e-3 per
+        # 1e-3 input noise, i.e. it's input sensitivity, not semantics. So:
+        # (1) compare the full gradient tree with MLE EXCLUDED (gate 5e-2 —
+        # bbox/oks/vis/cls measured at 1.5-2.8e-2 vs the same chaos floor),
+        # (2) verify the MLE path in ISOLATION with IDENTICAL inputs, where
+        # it matches torch to 1e-5 (see _grad_rtmo_mle_isolated).
+        total_t = sum(v for kk, v in out_t.loss.items() if kk != "loss_mle")
+        total_t.backward()
+        tgrads = {kk: (p.grad.detach().numpy() if p.grad is not None else np.zeros(p.shape, np.float32))
+                  for kk, p in tmodel.named_parameters()}
+        from focoos_tpu.utils.torch_convert import convert_state_dict
+
+        gconv, _ = convert_state_dict(tgrads, "rtmo", verbose=False)
+
+        def total_loss(params):
+            vars_ = {"params": params, "batch_stats": merged["batch_stats"]}
+            (_, aux2), ns2 = module.apply(vars_, jnp.asarray(x), train=True, mutable=["batch_stats"],
+                                          rngs={"dropout": jax.random.PRNGKey(0)})
+            jl2, _ = rtmo_criterion(
+                {"params": params, "batch_stats": ns2["batch_stats"]}, aux2, jt, cfg
+            )
+            return jl2["total"] - jl2["loss_mle"]
+
+        jgrads = jax.grad(total_loss)(merged["params"])
+        # drop dcc leaves: without the MLE loss they only receive the tiny
+        # decode-path contribution, which the reference head never trains
+        gconv_nodcc = {kk: v for kk, v in gconv.get("params", {}).items() if kk != "dcc"}
+        ok &= _compare_grad_trees(gconv_nodcc, jgrads, rel_tol=5e-2)
+        ok &= _grad_rtmo_mle_isolated(tmodel, module, merged, x, tt, jt, cfg)
+
     return ok and clean
+
+
+def _grad_rtmo_mle_isolated(tmodel, module, merged, x, tt, jt, cfg) -> bool:
+    """MLE/DCC loss + gradients with IDENTICAL inputs on both sides.
+
+    Extracts the reference's positives (pose features, decoded boxes, priors,
+    matched targets) and runs BOTH MLE implementations from those exact
+    tensors — isolating the DCC/target-heatmap/log-likelihood math from the
+    upstream forward noise. Expected agreement: loss ≤1e-6, grads ≤1e-4.
+    """
+    import torch
+
+    from focoos.models.rtmo.modelling import bbox_xyxy2cs, decode_bbox, decode_kpt_reg, flatten_predictions
+
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.models.rtmo.modelling import DCC
+
+    k = cfg.num_keypoints
+    head = tmodel.head
+    with torch.no_grad():
+        xt = (torch.from_numpy(x.transpose(0, 3, 1, 2)) - tmodel.pixel_mean) / tmodel.pixel_std
+        feats = tmodel.neck(tmodel.backbone(xt))
+        cls_scores, bbox_preds, kpt_offsets, kpt_vis, pose_vecs = head.head_module(feats)
+        featmap_sizes = [c.shape[2:] for c in cls_scores]
+        mlvl = head.prior_generator.grid_priors(featmap_sizes, dtype=cls_scores[0].dtype, device="cpu",
+                                                with_stride=True)
+        fpriors = torch.cat(mlvl)
+        fcls = flatten_predictions(cls_scores)
+        fobj = torch.ones_like(fcls).detach().narrow(-1, 0, 1) * 1e4
+        fbbox = flatten_predictions(bbox_preds)
+        fkptoff = flatten_predictions(kpt_offsets)
+        fkv = flatten_predictions(kpt_vis)
+        fpose = flatten_predictions(pose_vecs)
+        fbboxd = decode_bbox(fbbox, fpriors[..., :2], fpriors[..., -1])
+        fkptd = decode_kpt_reg(fkptoff, fpriors[..., :2], fpriors[..., -1], k)
+        T = head._get_targets(fpriors, fcls, fobj, fbboxd, fkptd, fkv, tt)
+        (pos_masks, _c, _o, _w, _bt, _bat, kpt_t, _kat, vis_t, _vw, pos_areas, pos_priors, _gi, _nf) = T
+
+    pose_pos = fpose.view(-1, fpose.size(-1))[pos_masks].detach().requires_grad_(True)
+    bbox_pos = fbboxd.view(-1, 4)[pos_masks].detach().requires_grad_(True)
+    bcs = torch.cat(bbox_xyxy2cs(bbox_pos, head.bbox_padding), dim=1)
+    _kcc, (px_t, py_t), sig_t = head.dcc.forward_train(pose_pos, bcs, pos_priors[..., :2])
+    hmx_t, hmy_t = head.dcc.generate_target_heatmap(kpt_t, bcs, sig_t, pos_areas)
+    prob_t = (px_t * hmx_t).sum(-1) * (py_t * hmy_t).sum(-1)
+    loss_t = ((-torch.log(prob_t + 1e-4)) * vis_t).flatten(1).mean(1).mean()
+    gp_t, gb_t = torch.autograd.grad(loss_t, [pose_pos, bbox_pos])
+
+    (_, _aux), new_state = module.apply(merged, jnp.asarray(x), train=True, mutable=["batch_stats"],
+                                        rngs={"dropout": jax.random.PRNGKey(0)})
+    dcc = DCC(cfg)
+    dcc_vars = {"params": merged["params"]["dcc"], "batch_stats": new_state["batch_stats"]["dcc"]}
+    p_prior = jnp.asarray(pos_priors[..., :2].numpy())
+    t_kpts = jnp.asarray(kpt_t.numpy())
+    t_vis = jnp.asarray(vis_t.numpy())
+    t_areas = jnp.asarray(pos_areas.numpy())
+
+    def mle_loss(p_pose, p_boxes):
+        cs_scale = (p_boxes[..., 2:] - p_boxes[..., :2]) * 1.25
+        cs_center = (p_boxes[..., 2:] + p_boxes[..., :2]) * 0.5
+        bbox_csj = jnp.concatenate([cs_center, cs_scale], axis=-1).astype(jnp.float32)
+        (_cc, (px, py), sig), _ = dcc.apply(dcc_vars, p_pose, bbox_csj, p_prior.astype(jnp.float32),
+                                            train=True, mutable=["batch_stats"])
+        hm_x, hm_y = dcc.target_heatmaps(t_kpts, bbox_csj, sig, t_areas)
+        prob = jnp.sum(px * hm_x, -1) * jnp.sum(py * hm_y, -1)
+        mle = -jnp.log(prob + 1e-4) * t_vis
+        return jnp.mean(jnp.mean(mle, axis=-1))
+
+    p0 = jnp.asarray(pose_pos.detach().numpy())
+    b0 = jnp.asarray(bbox_pos.detach().numpy())
+    lj = float(mle_loss(p0, b0))
+    gp_j, gb_j = jax.grad(mle_loss, argnums=(0, 1))(p0, b0)
+
+    def rel(a_, b_):
+        a_, b_ = np.asarray(a_, np.float64), np.asarray(b_, np.float64)
+        return float(np.linalg.norm(a_ - b_) / max(np.linalg.norm(b_), 1e-12))
+
+    rl = abs(lj - float(loss_t)) / max(abs(float(loss_t)), 1e-9)
+    rp, rb = rel(gp_j, gp_t.numpy()), rel(gb_j, gb_t.numpy())
+    ok = rl < 1e-5 and rp < 1e-4 and rb < 1e-4
+    print(f"  mle isolated (identical inputs): loss rel={rl:.2e}, d/d(pose) rel={rp:.2e}, "
+          f"d/d(bbox) rel={rb:.2e} {'OK' if ok else '** MISMATCH **'}")
+    return ok
 
 
 def _compare_grad_trees(gconv, jgrads, min_leaves=50, rel_tol=5e-3) -> bool:
@@ -553,6 +672,7 @@ CHECKS = {
     "rtmo": loss_parity_rtmo,
     "grad_fai_detr": grad_parity_fai_detr,
     "grad_fai_mf": lambda: _loss_parity_mask_family("fai_mf", grads=True),
+    "grad_rtmo": lambda: loss_parity_rtmo(grads=True),
 }
 
 
