@@ -135,7 +135,7 @@ def loss_parity_fai_detr(backbone: str = "resnet") -> bool:
     return _cmp_groups(jax_losses, torch_losses, ["loss_vfl", "loss_bbox", "loss_giou"]) and clean
 
 
-def loss_parity_fai_cls(backbone: str = "resnet") -> bool:
+def loss_parity_fai_cls(backbone: str = "resnet", grads: bool = False) -> bool:
     import torch
 
     torch.manual_seed(0)
@@ -185,6 +185,25 @@ def loss_parity_fai_cls(backbone: str = "resnet") -> bool:
     ok = True
     for k in torch_losses:
         ok &= _cmp_scalar(k, jax_losses.get(k, float("nan")), torch_losses[k])
+
+    if grads:
+        out_g = tmodel((torch.from_numpy(x.transpose(0, 3, 1, 2)) - mean) / std, tt)
+        sum(out_g.loss.values()).backward()
+        tgrads = {k: (p.grad.detach().numpy() if p.grad is not None else np.zeros(p.shape, np.float32))
+                  for k, p in tmodel.named_parameters()}
+        from focoos_tpu.utils.torch_convert import convert_state_dict
+
+        gconv, _ = convert_state_dict(tgrads, "fai_cls", verbose=False)
+
+        def total_loss(params):
+            vars_ = {"params": params, "batch_stats": merged["batch_stats"]}
+            (oj, _), _ = module.apply(vars_, jnp.asarray(x), train=True, mutable=["batch_stats"],
+                                      rngs={"dropout": jax.random.PRNGKey(0)})
+            return classification_loss(oj.logits, jt, cfg)["loss_cls"]
+
+        jgrads = jax.grad(total_loss)(merged["params"])
+        ok &= _compare_grad_trees(gconv.get("params", {}), jgrads)
+
     return ok and clean
 
 
@@ -671,7 +690,9 @@ CHECKS = {
     "bisenetformer": loss_parity_bisenetformer,
     "rtmo": loss_parity_rtmo,
     "grad_fai_detr": grad_parity_fai_detr,
+    "grad_fai_cls": lambda: loss_parity_fai_cls(grads=True),
     "grad_fai_mf": lambda: _loss_parity_mask_family("fai_mf", grads=True),
+    "grad_bisenetformer": lambda: _loss_parity_mask_family("bisenetformer", grads=True),
     "grad_rtmo": lambda: loss_parity_rtmo(grads=True),
 }
 
