@@ -152,3 +152,21 @@ def test_pipeline_rejects_bad_microbatch():
         from focoos_tpu.parallel.pipeline import _split_micro
 
         _split_micro(jnp.zeros((10, 3)), 4)
+
+
+def test_pipeline_hlo_contains_collective_permute(mesh):
+    """The stage-to-stage activation shifts must lower to collective-permute
+    (ICI ring transfers on TPU) — pins the mechanism, not just the values."""
+    key = jax.random.PRNGKey(0)
+    per_stage = _mlp_stages(key)
+    stacked = stack_stage_params(per_stage)
+    x = jax.random.normal(jax.random.fold_in(key, 999), (B, D))
+    k = jax.random.normal(jax.random.fold_in(key, 555), (B, D)) * 0.5
+    sh = {"ws": jax.random.normal(jax.random.fold_in(key, 777), (D, D)) / np.sqrt(D)}
+
+    def piped(stacked, x, k, sh):
+        c, outs = pipeline_apply(_stage_fn, stacked, x, M, mesh, consts=k, shared=sh)
+        return c, outs["normsq"]
+
+    hlo = jax.jit(piped).lower(stacked, x, k, sh).compile().as_text()
+    assert "collective-permute" in hlo

@@ -192,3 +192,37 @@ def test_trainer_accepts_sharding_arg(tmp_path):
     d = a.to_dict()
     assert d["sharding"] == "fsdp_tp"
     assert TrainerArgs.from_dict(d).sharding == "fsdp_tp"
+
+
+def test_fsdp_tp_hlo_contains_expected_collectives(mesh2d):
+    """Structure, not just numerics: the compiled fsdp_tp train step must
+    contain the ZeRO-3 collectives (per-layer all-gather of params,
+    reduce-scatter of grads) and TP's psum (all-reduce). A silent no-op
+    sharding (e.g. regex missing every path) would pass the numerics test
+    by accident of replication — this pins the mechanism."""
+    import optax
+
+    module = _TinyTransformerConv().build()
+    images = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 4)
+    variables = module.init(jax.random.PRNGKey(2), images[:1], train=True)
+
+    def loss_fn(vars_, batch, rng):
+        x, y = batch
+        logits, new_state = module.apply(vars_, x, train=True, mutable=["batch_stats"])
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+        return loss, ({"ce": loss}, new_state)
+
+    tx = optax.sgd(0.1, momentum=0.9)
+    state = create_train_state(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]}, tx
+    )
+    sh = state_shardings(state, mesh2d, "fsdp_tp", min_fsdp_size=1)
+    step = build_train_step(loss_fn, tx, mesh=mesh2d, donate=False, state_shardings=sh)
+    batch = shard_batch((images, labels), mesh2d)
+    state = device_put_state(state, sh)
+    compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    hlo = compiled.as_text()
+    assert "all-gather" in hlo, "FSDP should all-gather sharded params"
+    assert "reduce-scatter" in hlo or "all-reduce" in hlo, "grads need reduce-scatter/all-reduce"
+    assert "all-reduce" in hlo, "TP row-parallel outputs and DP grads need psums"
