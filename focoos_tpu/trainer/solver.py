@@ -115,11 +115,46 @@ def leaf_hyperparams(
     otherwise still move frozen weights.
     """
 
+    # The reference matches SUBSTRINGS of torch module names
+    # (solver/build.py:81-96), and its module tree nests differently from our
+    # flax tree: torch `pixel_decoder.backbone.*` means the backbone hits
+    # BOTH the backbone and pixel_decoder branches (multipliers stack), and
+    # torch `head.predictor.*` / `head.dcc.*` hit the head branch while our
+    # trees root them at `predictor` / `dcc`. Verified update-for-update
+    # against torch optimizers in tools/parity_loss.py::optimizer_parity.
+    has_pixel_decoder = isinstance(params, dict) and "pixel_decoder" in params
+
+    # Norm detection must be STRUCTURAL, not by name: the reference exempts
+    # norms by module TYPE (build.py:53-67 isinstance(...norm types)), and
+    # flax norm layers are exactly the param dicts holding `scale` without
+    # `kernel` (LayerNorm/BatchNorm/GroupNorm). A name heuristic misses e.g.
+    # the predictor's `enc_output_1` LayerNorm — caught by
+    # tools/parity_loss.py::optimizer_parity.
+    norm_parents = set()
+    for kp, _leaf in jax.tree_util.tree_leaves_with_path(params):
+        parent = _path_str(kp[:-1])
+        leaf_name = _path_str(kp[-1:])
+        if leaf_name == "scale":
+            norm_parents.add(parent)
+
+    def _is_norm_param(p: str) -> bool:
+        return p.rsplit("/", 1)[0] in norm_parents
+
     def _is_bn(p: str) -> bool:
         return "/bn/" in p or p.endswith("/bn")
 
     def _frozen(p: str) -> bool:
         return any(fp in p for fp in freeze_paths) or (freeze_bn and _is_bn(p))
+
+    def _is_head(p: str) -> bool:
+        # reference: anything under the DETR/MF/RTMO head module ("head" in
+        # torch name). Our equivalents: predictor/*, dcc/*, *head* roots.
+        return p.startswith("predictor/") or p.startswith("dcc/") or "head" in p
+
+    def _in_decoder(p: str) -> bool:
+        # reference "pixel_decoder" branch: the decoder subtree AND the
+        # backbone nested inside it (detr/mf/bisenet; rtmo/cls have none)
+        return "pixel_decoder" in p or (has_pixel_decoder and "backbone" in p)
 
     def mult(path, leaf):
         p = _path_str(path)
@@ -128,9 +163,9 @@ def leaf_hyperparams(
         m = 1.0
         if "backbone" in p:
             m *= backbone_multiplier
-        elif "pixel_decoder" in p:
+        if _in_decoder(p):
             m *= decoder_multiplier
-        if "head" in p and "classifier" not in p:
+        if _is_head(p) and "classifier" not in p:
             m *= head_multiplier
         return jnp.asarray(m, jnp.float32)
 
@@ -138,12 +173,16 @@ def leaf_hyperparams(
         p = _path_str(path)
         if _frozen(p):
             return jnp.asarray(0.0, jnp.float32)
-        if _is_bn(p) or "norm" in p:
+        if _is_bn(p) or "norm" in p or _is_norm_param(p):
             return jnp.asarray(wd_norm, jnp.float32)
         if "embed" in p:
             return jnp.asarray(wd_embed, jnp.float32)
-        zeroed = ("backbone" in p and backbone_multiplier == 0) or (
-            "head" in p and "classifier" not in p and head_multiplier == 0
+        # reference quirk kept as-is: the pixel_decoder branch zeroes wd when
+        # BACKBONE multiplier is 0 (build.py:88 checks backbone_multiplier)
+        zeroed = (
+            ("backbone" in p and backbone_multiplier == 0)
+            or (_in_decoder(p) and backbone_multiplier == 0)
+            or (_is_head(p) and "classifier" not in p and head_multiplier == 0)
         )
         return jnp.asarray(0.0 if zeroed else base_wd, jnp.float32)
 

@@ -47,11 +47,20 @@ def test_leaf_hyperparams_multipliers():
     }
     lr, wd = leaf_hyperparams(params, base_wd=0.01, wd_norm=0.0, backbone_multiplier=0.1,
                               decoder_multiplier=0.5, head_multiplier=2.0)
-    assert float(lr["backbone"]["conv"]["kernel"]) == pytest.approx(0.1)
+    # reference semantics (verified update-for-update vs torch optimizers in
+    # tools/parity_loss.py::optimizer_parity): the torch backbone is NESTED
+    # inside pixel_decoder, so backbone_mult and decoder_mult STACK
+    assert float(lr["backbone"]["conv"]["kernel"]) == pytest.approx(0.1 * 0.5)
     assert float(lr["pixel_decoder"]["lin"]["kernel"]) == pytest.approx(0.5)
     assert float(lr["head"]["misc"]["kernel"]) == pytest.approx(2.0)
     assert float(lr["head"]["classifier"]["kernel"]) == pytest.approx(1.0)  # classifier excluded
     assert float(wd["norm_layer"]["bn"]["scale"]) == pytest.approx(0.0)
+    # structural norm detection: a scale-bearing param dict is a norm layer
+    # regardless of its name (reference exempts by module type)
+    params2 = {"predictor": {"enc_output_1": {"scale": jnp.zeros((4,)), "bias": jnp.zeros((4,))}}}
+    _, wd2 = leaf_hyperparams(params2, base_wd=0.01, wd_norm=0.0)
+    assert float(wd2["predictor"]["enc_output_1"]["scale"]) == pytest.approx(0.0)
+    assert float(wd2["predictor"]["enc_output_1"]["bias"]) == pytest.approx(0.0)
 
 
 def test_checkpointer_roundtrip(tmp_path):

@@ -683,6 +683,94 @@ def grad_parity_fai_detr(backbone: str = "resnet") -> bool:
     return _compare_grad_trees(gconv, jgrads, min_leaves=100) and clean
 
 
+def optimizer_parity(opt_name: str = "ADAMW") -> bool:
+    """Optimizer-STEP parity: same parameters + same gradients → same update.
+
+    Verifies the whole solver stack against the reference's
+    (focoos/trainer/solver/build.py): param-group LR multipliers
+    (backbone/decoder/head with the 'classifier' exemption), per-group
+    decoupled weight decay incl. the norm/embed exceptions, global-norm
+    gradient clipping, and the AdamW/SGD core math (bias correction, eps,
+    momentum). Synthetic gradients g = 0.01*sin(137*p) + 0.002 are
+    elementwise in the parameter, so the weight converter's linear rules map
+    them identically on both sides.
+    """
+    import torch
+
+    torch.manual_seed(0)
+    from focoos.models.fai_detr.config import DETRConfig as TC
+    from focoos.models.fai_detr.modelling import FAIDetr as TM
+    from focoos.trainer.solver.build import build_optimizer as t_build_optimizer
+
+    tcfg = TC(num_classes=7, backbone_config=make_torch_backbone_cfg("resnet"), num_queries=20,
+              transformer_predictor_dec_layers=2)
+    tmodel = TM(tcfg).train()
+
+    from focoos_tpu.models.fai_detr.config import DETRConfig
+    from focoos_tpu.models.fai_detr.modelling import FAIDetr
+    from focoos_tpu.ports import TrainerArgs
+    from focoos_tpu.trainer.solver import build_optimizer as j_build_optimizer
+
+    bcfg, bmodule = make_jax_backbone("resnet")
+    cfg = DETRConfig(num_classes=7, backbone_config=bcfg, num_queries=20, transformer_predictor_dec_layers=2)
+    module = FAIDetr(config=cfg, backbone=bmodule)
+
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3)).astype(np.float32)
+    merged, clean = load_converted(module, "fai_detr", tmodel, x)
+
+    lr, wd, clip = 1e-3, 1e-4, 0.1
+    mults = dict(backbone_multiplier=0.1, decoder_multiplier=0.5, head_multiplier=2.0)
+
+    t_opt = t_build_optimizer(opt_name, lr, wd, tmodel, weight_decay_norm=0.0, weight_decay_embed=0.0,
+                              clip_gradients=clip, **mults)
+    for _, p in tmodel.named_parameters():
+        p.grad = (0.01 * torch.sin(137.0 * p.detach()) + 0.002).clone()
+    t_opt.step()
+    tnew = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from focoos_tpu.utils.torch_convert import convert_state_dict
+
+    tnew_conv, _ = convert_state_dict(tnew, "fai_detr", verbose=False)
+
+    args = TrainerArgs(run_name="opt_parity", learning_rate=lr, weight_decay=wd,
+                       weight_decay_norm=0.0, weight_decay_embed=0.0, clip_gradients=clip,
+                       optimizer=opt_name, scheduler="MULTISTEP", max_iters=100,
+                       scheduler_extra={"milestones": [1000], "warmup_iters": 0}, **mults)
+    tx, _sched = j_build_optimizer(merged["params"], args)
+    opt_state = tx.init(merged["params"])
+    grads = jax.tree.map(lambda p: 0.01 * jnp.sin(137.0 * p) + 0.002, merged["params"])
+    updates, _ = tx.update(grads, opt_state, merged["params"])
+    jnew = jax.tree.map(lambda p, u: p + u, merged["params"], updates)
+
+    flatj = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(jnew)}
+    flatt = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(tnew_conv.get("params", {}))}
+    flatp = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(merged["params"])}
+    ok = True
+    worst = (0.0, "")
+    for k, tv in flatt.items():
+        jv, pv = flatj.get(k), flatp.get(k)
+        if jv is None:
+            continue
+        dt = np.asarray(tv, np.float64) - np.asarray(pv, np.float64)  # torch's update
+        dj = np.asarray(jv, np.float64) - np.asarray(pv, np.float64)  # ours
+        err = float(np.linalg.norm(dj - dt))
+        rel = err / max(float(np.linalg.norm(dt)), 1e-12)
+        if rel > worst[0]:
+            worst = (rel, k)
+        # second arm: both updates are reconstructed by subtracting f32
+        # params, so leaves with |p| >> |Δ| (e.g. the -4.6 classifier bias
+        # init) carry an irreducible ~eps·‖p‖ cancellation error
+        if rel > 1e-4 and err > 4 * 1.2e-7 * float(np.linalg.norm(np.asarray(pv, np.float64))):
+            print(f"  UPDATE MISMATCH {k}: rel={rel:.2e} ‖Δt‖={np.linalg.norm(dt):.2e}")
+            ok = False
+    print(f"  {opt_name}: {len(flatt)} leaves' updates compared; worst rel={worst[0]:.2e} ({worst[1][-45:]})")
+    return ok and clean
+
+
 CHECKS = {
     "fai_detr": loss_parity_fai_detr,
     "fai_cls": loss_parity_fai_cls,
@@ -694,6 +782,8 @@ CHECKS = {
     "grad_fai_mf": lambda: _loss_parity_mask_family("fai_mf", grads=True),
     "grad_bisenetformer": lambda: _loss_parity_mask_family("bisenetformer", grads=True),
     "grad_rtmo": lambda: loss_parity_rtmo(grads=True),
+    "opt_adamw": lambda: optimizer_parity("ADAMW"),
+    "opt_sgd": lambda: optimizer_parity("SGD"),
 }
 
 
