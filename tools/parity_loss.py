@@ -784,7 +784,50 @@ CHECKS = {
     "grad_rtmo": lambda: loss_parity_rtmo(grads=True),
     "opt_adamw": lambda: optimizer_parity("ADAMW"),
     "opt_sgd": lambda: optimizer_parity("SGD"),
+    "schedules": lambda: schedule_parity(),
 }
+
+
+def schedule_parity() -> bool:
+    """LR schedules vs the reference's Warmup{MultiStep,Cosine,Poly}LR —
+    the factor sequence over the whole run must match step-for-step
+    (reference: focoos/trainer/solver/lr_scheduler.py)."""
+    import torch
+
+    from focoos.trainer.solver.build import build_lr_scheduler
+
+    from focoos_tpu.trainer.solver import build_schedule
+
+    import jax.numpy as jnp
+
+    max_iters, base_lr = 200, 1e-3
+    cases = [
+        ("MULTISTEP", {"milestones": [80, 150], "gamma": 0.1, "warmup_iters": 10, "warmup_factor": 0.001}),
+        ("COSINE", {"warmup_iters": 20, "warmup_factor": 0.001}),
+        ("POLY", {"power": 0.9, "warmup_iters": 15, "warmup_factor": 0.001}),
+        ("MULTISTEP", {"milestones": [120], "gamma": 0.5, "warmup_iters": 0}),
+    ]
+    ok = True
+    for name, extra in cases:
+        dummy = torch.nn.Linear(2, 2)
+        t_opt = torch.optim.SGD(dummy.parameters(), lr=base_lr)
+        t_sched = build_lr_scheduler(name, max_iters, t_opt, extra=dict(extra))
+        t_lrs = []
+        for _ in range(max_iters):
+            t_lrs.append(t_opt.param_groups[0]["lr"])
+            t_opt.step()
+            t_sched.step()
+        j_sched = build_schedule(name, base_lr, max_iters, dict(extra))
+        j_lrs = [float(j_sched(jnp.asarray(i))) for i in range(max_iters)]
+        d = np.abs(np.asarray(j_lrs) - np.asarray(t_lrs))
+        rel = float(d.max() / base_lr)
+        good = rel < 1e-6
+        print(f"  {name} {extra}: max|Δlr|/base={rel:.2e} {'OK' if good else '** MISMATCH **'}")
+        if not good:
+            bad = int(np.argmax(d))
+            print(f"    first-worst step {bad}: torch={t_lrs[bad]:.8f} jax={j_lrs[bad]:.8f}")
+        ok &= good
+    return ok
 
 
 def main():
