@@ -252,10 +252,18 @@ def build_optimizer(
 
 
 def ema_decay_schedule(decay: float, warmup: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """EMA decay ramp (reference: solver/ema.py:90 EMAUpdater warmup)."""
+    """EMA decay ramp — the reference's exponential warmup
+    ``decay * (1 - exp(-x / warmups))`` with x = 1-based update count
+    (solver/ema.py:101-104; EMAUpdater.update increments BEFORE evaluating,
+    ema.py:112-114 — our step counter is 0-based pre-increment, hence +1).
+    A timm-style harmonic ramp was used here before round 3; it reaches the
+    asymptote ~3x faster, changing which updates dominate the EMA early on.
+    """
 
     def fn(step):
-        s = step.astype(jnp.float32)
-        return jnp.minimum(decay, (1.0 + s) / (jnp.asarray(float(max(warmup, 1))) + s))
+        x = step.astype(jnp.float32) + 1.0
+        if warmup > 0:
+            return decay * (1.0 - jnp.exp(-x / float(warmup)))
+        return jnp.asarray(decay, jnp.float32)
 
     return fn

@@ -807,7 +807,20 @@ def schedule_parity() -> bool:
         ("POLY", {"power": 0.9, "warmup_iters": 15, "warmup_factor": 0.001}),
         ("MULTISTEP", {"milestones": [120], "gamma": 0.5, "warmup_iters": 0}),
     ]
-    ok = True
+    # EMA decay ramp (reference EMAUpdater: decay*(1-exp(-x/warmups)), x
+    # 1-based — solver/ema.py:101-114; our step counter is 0-based)
+    import math
+
+    from focoos_tpu.trainer.solver import ema_decay_schedule
+
+    fn = ema_decay_schedule(0.999, 2000)
+    ref_fn = lambda xx: 0.999 * (1 - math.exp(-xx / 2000))
+    ema_ok = all(
+        abs(float(fn(jnp.asarray(s))) - ref_fn(s + 1)) < 1e-7 for s in [0, 1, 10, 500, 1999, 10000]
+    )
+    print(f"  EMA ramp decay*(1-exp(-x/warmup)): {'OK' if ema_ok else '** MISMATCH **'}")
+
+    ok = ema_ok
     for name, extra in cases:
         dummy = torch.nn.Linear(2, 2)
         t_opt = torch.optim.SGD(dummy.parameters(), lr=base_lr)
