@@ -110,18 +110,36 @@ class VFlipTransform(Transform):
 
 
 class ResizeTransform(Transform):
-    def __init__(self, h: int, w: int, new_h: int, new_w: int, interp: Optional[int] = None):
-        import cv2
+    """Resize matching the reference's backends EXACTLY
+    (transform.py:111-152): uint8 goes through PIL (whose bilinear is
+    ANTIALIASED on downscale — cv2 INTER_LINEAR is not, and differs on 96%
+    of pixels at 37→21; measured in tools/parity_aug.py), other dtypes
+    through the torch-interpolate convention (== cv2 INTER_LINEAR at
+    align_corners=False); segmentation uses PIL NEAREST for uint8 and the
+    torch floor-mapping nearest otherwise."""
 
+    def __init__(self, h: int, w: int, new_h: int, new_w: int, interp: Optional[int] = None):
         self.h, self.w, self.new_h, self.new_w = h, w, new_h, new_w
-        self.interp = cv2.INTER_LINEAR if interp is None else interp
+        self.interp = interp  # PIL resampling for uint8; None = BILINEAR
+
+    def _pil_resize(self, img: np.ndarray, resample) -> np.ndarray:
+        from PIL import Image
+
+        squeeze = img.ndim > 2 and img.shape[2] == 1
+        pil = Image.fromarray(img[:, :, 0] if squeeze else img, mode="L" if squeeze else None)
+        out = np.asarray(pil.resize((self.new_w, self.new_h), resample))
+        return out[..., None] if squeeze else out
 
     def apply_image(self, img):
-        import cv2
-
         if img.shape[:2] == (self.new_h, self.new_w):
             return img
-        return cv2.resize(img, (self.new_w, self.new_h), interpolation=self.interp)
+        if img.dtype == np.uint8:
+            from PIL import Image
+
+            return self._pil_resize(img, Image.BILINEAR if self.interp is None else self.interp)
+        import cv2
+
+        return cv2.resize(img, (self.new_w, self.new_h), interpolation=cv2.INTER_LINEAR)
 
     def apply_coords(self, coords):
         coords = coords.copy().astype(np.float64)
@@ -130,9 +148,16 @@ class ResizeTransform(Transform):
         return coords
 
     def apply_segmentation(self, seg):
-        import cv2
+        if seg.shape[:2] == (self.new_h, self.new_w):
+            return seg
+        if seg.dtype == np.uint8:
+            from PIL import Image
 
-        return cv2.resize(seg, (self.new_w, self.new_h), interpolation=cv2.INTER_NEAREST)
+            return self._pil_resize(seg, Image.NEAREST)
+        # torch-convention nearest: floor mapping of output-pixel centers
+        ys = np.floor(np.arange(self.new_h) * (self.h / self.new_h)).astype(np.int64)
+        xs = np.floor(np.arange(self.new_w) * (self.w / self.new_w)).astype(np.int64)
+        return seg[np.clip(ys, 0, self.h - 1)[:, None], np.clip(xs, 0, self.w - 1)[None, :]]
 
 
 class CropTransform(Transform):
@@ -174,53 +199,87 @@ class RotationTransform(Transform):
     """Rotate around the image center, optionally expanding to fit
     (reference: transforms/transform.py RotationTransform)."""
 
-    def __init__(self, h: int, w: int, angle: float, expand: bool = True, interp: Optional[int] = None):
+    def __init__(self, h: int, w: int, angle: float, expand: bool = True,
+                 center=None, interp: Optional[int] = None):
         import cv2
 
         self.h, self.w, self.angle, self.expand = h, w, angle, expand
         self.interp = cv2.INTER_LINEAR if interp is None else interp
-        center = ((w - 1) / 2, (h - 1) / 2)
-        self.rm = cv2.getRotationMatrix2D(center, angle, 1.0)
+        # reference-exact conventions (transform.py:159-240): center (w/2,h/2),
+        # rint'ed expand bounds, separate coord/image matrices (the image one
+        # offset by -0.5 for cv2's warpAffine half-pixel issue, opencv#11784)
+        self.image_center = np.array((w / 2, h / 2))
+        self.center = self.image_center if center is None else np.asarray(center, np.float64)
+        abs_cos, abs_sin = abs(np.cos(np.deg2rad(angle))), abs(np.sin(np.deg2rad(angle)))
         if expand:
-            cos, sin = abs(self.rm[0, 0]), abs(self.rm[0, 1])
-            self.new_w = int(h * sin + w * cos + 0.5)
-            self.new_h = int(h * cos + w * sin + 0.5)
-            self.rm[0, 2] += (self.new_w - 1) / 2 - center[0]
-            self.rm[1, 2] += (self.new_h - 1) / 2 - center[1]
+            self.new_w, self.new_h = np.rint(
+                [h * abs_sin + w * abs_cos, h * abs_cos + w * abs_sin]
+            ).astype(int)
         else:
             self.new_w, self.new_h = w, h
+        self.rm = self._rotation_matrix()
+        self.rm_image = self._rotation_matrix(offset=-0.5)
+
+    def _rotation_matrix(self, offset: float = 0.0):
+        import cv2
+
+        center = (float(self.center[0] + offset), float(self.center[1] + offset))
+        rm = cv2.getRotationMatrix2D(center, self.angle, 1.0)
+        if self.expand:
+            rot_im_center = cv2.transform(self.image_center[None, None, :] + offset, rm)[0, 0, :]
+            new_center = np.array([self.new_w / 2, self.new_h / 2]) + offset - rot_im_center
+            rm[:, 2] += new_center
+        return rm
 
     def apply_image(self, img):
         import cv2
 
-        return cv2.warpAffine(img, self.rm, (self.new_w, self.new_h), flags=self.interp)
+        if len(img) == 0 or self.angle % 360 == 0:
+            return img
+        return cv2.warpAffine(img, self.rm_image, (self.new_w, self.new_h), flags=self.interp)
 
     def apply_coords(self, coords):
         coords = np.asarray(coords, np.float64)
+        if len(coords) == 0 or self.angle % 360 == 0:
+            return coords
         ones = np.ones((len(coords), 1))
         return (np.hstack([coords, ones]) @ self.rm.T).astype(np.float64)
 
     def apply_segmentation(self, seg):
         import cv2
 
+        if len(seg) == 0 or self.angle % 360 == 0:
+            return seg
+        # reference fills rotation padding with 0 (transform.py:226 uses the
+        # cv2 default border) — kept identical for training parity
         return cv2.warpAffine(
-            seg, self.rm, (self.new_w, self.new_h), flags=cv2.INTER_NEAREST, borderValue=255
+            seg, self.rm_image, (self.new_w, self.new_h), flags=cv2.INTER_NEAREST
         )
 
 
 class ExtentTransform(Transform):
     """Crop a (possibly out-of-bounds) subrect and resample to a fixed output
-    size; out-of-source pixels read 0 (reference: transform.py ExtentTransform
-    via PIL Image.EXTENT)."""
+    size; out-of-source pixels read the fill color. uint8 goes through PIL
+    Image.EXTENT bilinear exactly like the reference (transform.py:28-68);
+    other dtypes use a nearest floor-sampled numpy fallback."""
 
-    def __init__(self, src_rect, output_size):
+    def __init__(self, src_rect, output_size, fill=0):
         self.src_rect = tuple(float(v) for v in src_rect)  # x0, y0, x1, y1
         self.output_size = (int(output_size[0]), int(output_size[1]))  # h, w
+        self.fill = fill
 
-    def apply_image(self, img):
-        x0, y0, x1, y1 = self.src_rect
+    def apply_image(self, img, nearest: bool = False):
         out_h, out_w = self.output_size
-        # source coordinate of each output pixel center (nearest sampling)
+        if img.dtype == np.uint8:
+            from PIL import Image
+
+            squeeze = img.ndim > 2 and img.shape[2] == 1
+            pil = Image.fromarray(img[:, :, 0] if squeeze else img, mode="L" if squeeze else None)
+            pil = pil.transform(size=(out_w, out_h), method=Image.EXTENT, data=self.src_rect,
+                                resample=Image.NEAREST if nearest else Image.BILINEAR, fill=self.fill)
+            out = np.asarray(pil)
+            return out[..., None] if squeeze else out
+        x0, y0, x1, y1 = self.src_rect
         xs = x0 + (np.arange(out_w) + 0.5) * (x1 - x0) / out_w
         ys = y0 + (np.arange(out_h) + 0.5) * (y1 - y0) / out_h
         xi = np.floor(xs).astype(np.int64)
@@ -234,6 +293,9 @@ class ExtentTransform(Transform):
         sampled = img[yc[:, None], xc[None, :]]
         out[valid] = sampled[valid]
         return out
+
+    def apply_segmentation(self, seg):
+        return self.apply_image(seg, nearest=True)
 
     def apply_coords(self, coords):
         x0, y0, x1, y1 = self.src_rect
