@@ -359,9 +359,21 @@ class Augmentation:
         return tfm
 
 
+class _FixedTransformAug(Augmentation):
+    """Wrap a deterministic Transform as an Augmentation (the reference's
+    AugmentationList accepts Union[Augmentation, Transform] the same way,
+    augmentation.py _transform_to_aug)."""
+
+    def __init__(self, tfm: Transform):
+        self.tfm = tfm
+
+    def get_transform(self, image):
+        return self.tfm
+
+
 class AugmentationList(Augmentation):
-    def __init__(self, augs: Sequence[Augmentation]):
-        self.augs = list(augs)
+    def __init__(self, augs: Sequence[Union[Augmentation, Transform]]):
+        self.augs = [a if isinstance(a, Augmentation) else _FixedTransformAug(a) for a in augs]
 
     def __call__(self, aug_input: AugInput) -> TransformList:
         tfms = []

@@ -72,6 +72,13 @@ def _stub_missing_modules():
         fvt = types.ModuleType("fvcore.transforms")
         fvtt = types.ModuleType("fvcore.transforms.transform")
 
+        import numpy as _np
+
+        # Functional minimal fvcore: enough faithful behavior for the
+        # reference's mappers/augmentations to EXECUTE for parity harnesses.
+        # Defaults mirror real fvcore: apply_box via the 4 corners through
+        # apply_coords, apply_polygons via apply_coords per polygon,
+        # TransformList composing in order.
         class Transform:
             def apply_image(self, img):
                 return img
@@ -80,7 +87,15 @@ def _stub_missing_modules():
                 return coords
 
             def apply_box(self, box):
-                return box
+                idx = _np.array([(0, 1), (2, 1), (0, 3), (2, 3)]).flatten()
+                coords = _np.asarray(box, dtype=_np.float64).reshape(-1, 4)[:, idx].reshape(-1, 2)
+                coords = self.apply_coords(coords).reshape((-1, 4, 2))
+                minxy = coords.min(axis=1)
+                maxxy = coords.max(axis=1)
+                return _np.concatenate((minxy, maxxy), axis=1)
+
+            def apply_polygons(self, polygons):
+                return [self.apply_coords(_np.asarray(p, dtype=_np.float64).reshape(-1, 2)) for p in polygons]
 
             def apply_segmentation(self, seg):
                 return seg
@@ -97,11 +112,120 @@ def _stub_missing_modules():
 
         class TransformList(Transform):
             def __init__(self, transforms):
-                self.transforms = transforms
+                flat = []
+                for t in transforms:
+                    flat.extend(t.transforms if isinstance(t, TransformList) else [t])
+                self.transforms = flat
 
-        for nm in ("BlendTransform", "CropTransform", "HFlipTransform", "NoOpTransform", "PadTransform",
-                   "VFlipTransform", "ScaleTransform", "ResizeTransform"):
-            setattr(fvtt, nm, type(nm, (Transform,), {"__init__": lambda self, *a, **k: None}))
+            def _apply(self, x, meth):
+                for t in self.transforms:
+                    x = getattr(t, meth)(x)
+                return x
+
+            def apply_image(self, img):
+                return self._apply(img, "apply_image")
+
+            def apply_coords(self, coords):
+                return self._apply(coords, "apply_coords")
+
+            def apply_box(self, box):
+                return self._apply(box, "apply_box")
+
+            def apply_polygons(self, polygons):
+                return self._apply(polygons, "apply_polygons")
+
+            def apply_segmentation(self, seg):
+                return self._apply(seg, "apply_segmentation")
+
+            def __add__(self, other):
+                return TransformList([self, other])
+
+            def __iadd__(self, other):
+                return TransformList([self, other])
+
+        class NoOpTransform(Transform):
+            def __getattr__(self, name):
+                if name.startswith("apply_"):
+                    return lambda x: x
+                raise AttributeError(name)
+
+        class HFlipTransform(Transform):
+            def __init__(self, width):
+                self.width = width
+
+            def apply_image(self, img):
+                return _np.flip(img, axis=1)
+
+            def apply_coords(self, coords):
+                coords = _np.asarray(coords, dtype=_np.float64).copy()
+                coords[:, 0] = self.width - coords[:, 0]
+                return coords
+
+        class VFlipTransform(Transform):
+            def __init__(self, height):
+                self.height = height
+
+            def apply_image(self, img):
+                return _np.flip(img, axis=0)
+
+            def apply_coords(self, coords):
+                coords = _np.asarray(coords, dtype=_np.float64).copy()
+                coords[:, 1] = self.height - coords[:, 1]
+                return coords
+
+        class CropTransform(Transform):
+            def __init__(self, x0, y0, w, h, orig_w=None, orig_h=None):
+                self.x0, self.y0, self.w, self.h = x0, y0, w, h
+                self.orig_w, self.orig_h = orig_w, orig_h
+
+            def apply_image(self, img):
+                return img[self.y0:self.y0 + self.h, self.x0:self.x0 + self.w]
+
+            def apply_coords(self, coords):
+                coords = _np.asarray(coords, dtype=_np.float64).copy()
+                coords[:, 0] -= self.x0
+                coords[:, 1] -= self.y0
+                return coords
+
+        class PadTransform(Transform):
+            def __init__(self, x0=0, y0=0, x1=0, y1=0, orig_w=None, orig_h=None, pad_value=0, seg_pad_value=0):
+                self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+                self.pad_value, self.seg_pad_value = pad_value, seg_pad_value
+
+            def apply_image(self, img):
+                pads = [(self.y0, self.y1), (self.x0, self.x1)] + [(0, 0)] * (img.ndim - 2)
+                return _np.pad(img, pads, constant_values=self.pad_value)
+
+            def apply_segmentation(self, seg):
+                pads = [(self.y0, self.y1), (self.x0, self.x1)] + [(0, 0)] * (seg.ndim - 2)
+                return _np.pad(seg, pads, constant_values=self.seg_pad_value)
+
+            def apply_coords(self, coords):
+                coords = _np.asarray(coords, dtype=_np.float64).copy()
+                coords[:, 0] += self.x0
+                coords[:, 1] += self.y0
+                return coords
+
+        class BlendTransform(Transform):
+            def __init__(self, src_image, src_weight, dst_weight):
+                self.src_image, self.src_weight, self.dst_weight = src_image, src_weight, dst_weight
+
+            def apply_image(self, img):
+                if img.dtype == _np.uint8:
+                    img = img.astype(_np.float32)
+                    out = self.src_weight * self.src_image + self.dst_weight * img
+                    return _np.clip(out, 0, 255).astype(_np.uint8)
+                return self.src_weight * self.src_image + self.dst_weight * img
+
+        class ScaleTransform(Transform):
+            def __init__(self, *a, **k):
+                pass
+
+        for nm, cls_ in (("BlendTransform", BlendTransform), ("CropTransform", CropTransform),
+                         ("HFlipTransform", HFlipTransform), ("NoOpTransform", NoOpTransform),
+                         ("PadTransform", PadTransform), ("VFlipTransform", VFlipTransform),
+                         ("ScaleTransform", ScaleTransform)):
+            setattr(fvtt, nm, cls_)
         fvtt.Transform = Transform
         fvtt.TransformList = TransformList
         fv.transforms = fvt
