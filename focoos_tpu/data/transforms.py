@@ -596,6 +596,10 @@ class RandomCropWithInstance(RandomCrop):
         return CropTransform(x0, y0, cw, ch)
 
 
+# reference name for the same class (augmentation.py:884)
+RandomCrop_CategoryAreaConstraint = RandomCropWithInstance
+
+
 class RandomContrast(Augmentation):
     """(reference :986)"""
 
