@@ -93,6 +93,27 @@ def main():
     ok &= _cmp("extent coords", t_j.apply_coords(coords.copy()), t_r.apply_coords(coords.copy()), tol=1e-3)
     ok &= _cmp("extent u8 image", t_j.apply_image(img_u8), t_r.apply_image(img_u8), count_tol=0.02)
 
+    # --- FixedSizeCrop, deterministic pad-only path (image < crop size);
+    # validates pad-side/size conventions and the crop+pad composition
+    import focoos.data.transforms.augmentation as RA
+
+    r_fsc = RA.FixedSizeCrop((64, 80), pad=True, pad_value=128.0, seg_pad_value=255).get_transform(img_u8)
+    j_fsc = JT.FixedSizeCrop((64, 80), pad_value=128.0, seg_pad_value=255).get_transform(img_u8)
+    ok &= _cmp("fixed_size_crop(pad) image", j_fsc.apply_image(img_u8.copy()), r_fsc.apply_image(img_u8.copy()))
+    ok &= _cmp("fixed_size_crop(pad) seg", j_fsc.apply_segmentation(seg_u8.copy()), r_fsc.apply_segmentation(seg_u8.copy()))
+    ok &= _cmp("fixed_size_crop(pad) coords", j_fsc.apply_coords(coords.copy()), r_fsc.apply_coords(coords.copy()), tol=1e-6)
+
+    # --- ResizeShortestEdge output-shape rounding at odd sizes
+    shapes_match = all(
+        JT.ResizeShortestEdge([s], max_size=m).get_transform(np.zeros((h, w, 3), np.uint8)).__dict__.get("new_h")
+        == RA.ResizeShortestEdge.get_output_shape(h, w, s, m)[0]
+        and JT.ResizeShortestEdge([s], max_size=m).get_transform(np.zeros((h, w, 3), np.uint8)).new_w
+        == RA.ResizeShortestEdge.get_output_shape(h, w, s, m)[1]
+        for h, w, s, m in [(37, 53, 21, 1000), (480, 641, 633, 1333), (1023, 767, 640, 1024)]
+    )
+    print(f"  resize_shortest_edge output shapes: {'OK' if shapes_match else '** MISMATCH **'}")
+    ok &= shapes_match
+
     ok &= mapper_parity()
 
     print("ALL AUG PARITY CHECKS PASSED" if ok else "AUG PARITY FAILURES")
