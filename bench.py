@@ -165,7 +165,25 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    dev = jax.devices()[0]
+    # the axon tunnel occasionally drops for minutes; retry backend init so a
+    # transient outage doesn't void the whole benchmark run
+    dev = None
+    for attempt in range(4):
+        try:
+            dev = jax.devices()[0]
+            break
+        except RuntimeError as e:
+            log(f"backend init failed (attempt {attempt + 1}/4): {str(e)[:120]}")
+            if attempt == 3:
+                print(json.dumps({
+                    "metric": "fai-detr-l-coco 640x640 throughput (1 chip, bf16)",
+                    "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+                    "error": f"TPU backend unavailable after 4 attempts: {str(e)[:200]}",
+                }))
+                raise SystemExit(1)
+            import time as _time
+
+            _time.sleep(90)
     log(f"device: {dev.device_kind} ({dev.platform})")
     on_tpu = dev.platform not in ("cpu",)
     dtype = "bfloat16" if on_tpu else None
