@@ -123,6 +123,21 @@ def run(rank: int, world: int):
         losses.append(float(metrics["total_loss"]))
     bn_mean = float(jnp.sum(jnp.abs(state.batch_stats["BatchNorm_0"]["mean"])))
 
+    # ---- FSDP across the real process boundary (round 3): params + opt
+    # state sharded over the global data axis; the per-layer all-gathers and
+    # grad reduce-scatters now cross processes over the jax.distributed
+    # transport instead of staying intra-host
+    from focoos_tpu.parallel.sharding import device_put_state, state_shardings
+
+    fsdp_state = create_train_state(dict(variables), tx)
+    sh = state_shardings(fsdp_state, mesh, "fsdp", min_fsdp_size=1)
+    fsdp_state = device_put_state(fsdp_state, sh)
+    fsdp_step = build_train_step(loss_fn, tx, mesh=mesh, donate=False, state_shardings=sh)
+    fsdp_losses = []
+    for i in range(2):
+        fsdp_state, fmetrics = fsdp_step(fsdp_state, batch, jax.random.PRNGKey(1))
+        fsdp_losses.append(float(fmetrics["total_loss"]))
+
     # ---- evaluator-state merge across the real process boundary ----
     from focoos_tpu.ports import DatasetEntry
     from focoos_tpu.structures import Boxes, Instances
@@ -162,7 +177,7 @@ def run(rank: int, world: int):
         for k, v in (metrics.get("bbox") or {}).items()
         if isinstance(v, (int, float)) and v == v
     }
-    return {"losses": losses, "bn_mean": bn_mean, "metrics": flat_metrics}
+    return {"losses": losses, "fsdp_losses": fsdp_losses, "bn_mean": bn_mean, "metrics": flat_metrics}
 
 
 if __name__ == "__main__":

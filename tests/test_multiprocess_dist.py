@@ -75,3 +75,7 @@ def test_two_process_train_and_eval_merge(tmp_path):
     assert r0["bn_mean"] == pytest.approx(s["bn_mean"], abs=1e-6)
     assert r0["metrics"] == pytest.approx(s["metrics"], abs=1e-9)
     assert len(r0["metrics"]) > 0
+    # FSDP across the process boundary: sharded-state steps match DP and the
+    # single-process run (all-gathers/reduce-scatters over the transport)
+    assert r0["fsdp_losses"] == pytest.approx(s["fsdp_losses"], abs=1e-6)
+    assert r0["fsdp_losses"] == pytest.approx(r0["losses"], abs=1e-5)
