@@ -52,8 +52,14 @@ class TrainerLoop:
         gather_metric_period: int = 1,
         nan_guard: bool = True,
         steps_per_call: int = 1,
+        single_step_fn: Optional[Callable] = None,
     ):
         self.step_fn = step_fn
+        # fallback for ragged micro-batch groups under steps_per_call>1:
+        # K sequential single-step dispatches preserve exact K=1 numerics
+        # (zero-padding ragged shapes into the stacked scan would enter BN
+        # batch statistics — reference never pads ACROSS steps).
+        self.single_step_fn = single_step_fn
         self.state = state
         self._data_iter = iter(data_iter)
         self.max_iter = max_iter
@@ -114,39 +120,59 @@ class TrainerLoop:
         t0 = time.perf_counter()
         if self.steps_per_call == 1:
             batch = next(self._data_iter)
+            parts = None
         else:
-            # stack K batches along a new leading axis for the scanned step;
-            # zero-pad to the groupwise max shape (same semantics as the
-            # ImageList batch padding). Fixed-size augmentations avoid both
-            # the padding and shape-driven recompiles.
+            # stack K same-shape batches along a new leading axis for the
+            # scanned step. Ragged groups fall back to K sequential
+            # single-step dispatches (exact K=1 numerics — see below);
+            # fixed-size augmentations keep the fast stacked path.
             parts = [next(self._data_iter) for _ in range(self.steps_per_call)]
-
-            def stack_pad(*xs):
-                if all(x.shape == xs[0].shape for x in xs):
-                    return jnp.stack(xs)
-                tgt = tuple(max(x.shape[d] for x in xs) for d in range(xs[0].ndim))
-                # zero padding enters BatchNorm batch statistics (same in kind
-                # as ImageList padding, but across the K stacked micro-batches)
-                # — surface it instead of silently diluting the stats
-                if not self._warned_kgroup_pad:
-                    self._warned_kgroup_pad = True
-                    want = sum(int(np.prod(x.shape)) for x in xs)
-                    have = len(xs) * int(np.prod(tgt))
-                    logger.warning(
-                        f"steps_per_call={self.steps_per_call} stacked ragged shapes "
-                        f"{sorted({x.shape for x in xs})}: zero-padding {100 * (have - want) / have:.1f}% "
-                        "of pixels into the step (enters BN batch stats; shape-driven recompile). "
-                        "Use fixed-size augmentations to avoid this."
-                    )
-                xs = [jnp.pad(x, [(0, t - s) for s, t in zip(x.shape, tgt)]) for x in xs]
-                return jnp.stack(xs)
-
-            batch = jax.tree.map(stack_pad, *parts)
+            shapes = [tuple(l.shape for l in jax.tree.leaves(p)) for p in parts]
+            if all(s == shapes[0] for s in shapes):
+                batch = jax.tree.map(lambda *xs: jnp.stack(xs), *parts)
+                parts = None
+            elif self.single_step_fn is None:
+                raise ValueError(
+                    f"steps_per_call={self.steps_per_call} received ragged micro-batch shapes "
+                    f"and no single-step fallback is available. Zero-padding ragged shapes "
+                    f"across micro-batches would contaminate BatchNorm batch statistics "
+                    f"(the reference never pads ACROSS steps — focoos/structures.py:682-806 "
+                    f"pads only within one batch). Use fixed-size augmentations, or build the "
+                    f"loop with single_step_fn."
+                )
         data_time = time.perf_counter() - t0
 
         self._rng, step_rng = jax.random.split(self._rng)
         prev = self._pending_metrics
-        self.state, metrics = self.step_fn(self.state, batch, step_rng)
+        if parts is not None:
+            # ragged fallback: K sequential real steps, one per micro-batch —
+            # numerically identical to steps_per_call=1 (same step body, same
+            # per-step rng stream as the scanned path). Costs K dispatches and
+            # a compile per distinct shape, same as K=1 would.
+            if not self._warned_kgroup_pad:
+                self._warned_kgroup_pad = True
+                logger.warning(
+                    f"steps_per_call={self.steps_per_call} got ragged micro-batch shapes "
+                    f"{sorted(set(s for ss in ([tuple(l.shape for l in jax.tree.leaves(p)) for p in parts]) for s in ss))[:4]}; "
+                    "falling back to sequential single-step dispatch (exact numerics, "
+                    "no dispatch amortization). Use fixed-size augmentations to regain "
+                    "the stacked fast path."
+                )
+            metric_arrs = []
+            keys = None
+            for part, r in zip(parts, jax.random.split(step_rng, self.steps_per_call)):
+                self.state, m = self.single_step_fn(self.state, part, r)
+                if isinstance(m, tuple) and len(m) == 2 and isinstance(m[0], tuple):
+                    keys, arr = m
+                    metric_arrs.append(arr)
+                else:
+                    metric_arrs.append(m)
+            if keys is not None:
+                metrics = (keys, jnp.mean(jnp.stack(metric_arrs), axis=0))
+            else:
+                metrics = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs), axis=0), *metric_arrs)
+        else:
+            self.state, metrics = self.step_fn(self.state, batch, step_rng)
         # one-step-delayed fetch: step k's metrics are pulled AFTER step k+1
         # is dispatched, so the (blocking) device→host transfer overlaps the
         # device computing the next step instead of stalling on this one.
@@ -300,11 +326,17 @@ class FocoosTrainer:
             from focoos_tpu.parallel.sharding import state_shardings as _state_shardings
 
             st_shard = _state_shardings(state, mesh, mode=args.sharding)
+        single_step_fn = None
         if spc > 1:
             from focoos_tpu.trainer.train_step import build_multi_train_step
 
             step_fn = build_multi_train_step(
                 loss_fn, tx, spc, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state,
+                pack_metrics=True, state_shardings=st_shard,
+            )
+            # ragged-shape fallback: exact K=1 numerics, no BN contamination
+            single_step_fn = build_train_step(
+                loss_fn, tx, mesh=mesh, ema_decay_fn=ema_fn, donate=args.donate_state,
                 pack_metrics=True, state_shardings=st_shard,
             )
             logger.info(f"Multi-step dispatch: {spc} optimizer steps per host call")
@@ -352,6 +384,7 @@ class FocoosTrainer:
             start_iter=start_iter,
             gather_metric_period=args.gather_metric_period,
             steps_per_call=spc,
+            single_step_fn=single_step_fn,
         )
         self._register_hooks(loop, checkpointer, schedule)
         if args.resume and start_iter > 0 and isinstance(resume_extra.get("hooks"), dict):
