@@ -125,7 +125,8 @@ def cmd_train(ns):
     from focoos_tpu.model_manager import ModelManager
     from focoos_tpu.ports import DatasetSplitType, Task
 
-    auto = AutoDataset(ns.dataset, Task(ns.task), ns.dataset_layout)
+    auto = AutoDataset(ns.dataset, Task(ns.task), ns.dataset_layout,
+                       **({"datasets_dir": ns.datasets_dir} if ns.datasets_dir else {}))
     train_augs, val_augs = _build_augs(ns, Task(ns.task), ns.im_size)
     train_ds = auto.get_split(train_augs, DatasetSplitType.TRAIN)
     val_ds = auto.get_split(val_augs, DatasetSplitType.VAL)
@@ -145,11 +146,15 @@ def cmd_val(ns):
     from focoos_tpu.model_manager import ModelManager
     from focoos_tpu.ports import DatasetSplitType, Task, TrainerArgs
 
-    auto = AutoDataset(ns.dataset, Task(ns.task), ns.dataset_layout)
+    auto = AutoDataset(ns.dataset, Task(ns.task), ns.dataset_layout,
+                       **({"datasets_dir": ns.datasets_dir} if ns.datasets_dir else {}))
     _, val_augs = get_default_by_task(Task(ns.task), resolution=ns.im_size)
     val_ds = auto.get_split(val_augs, DatasetSplitType.VAL)
     model = ModelManager.get(ns.model, image_size=ns.im_size)
-    results = model.eval(TrainerArgs(run_name="val", batch_size=ns.batch_size or 8), val_ds)
+    args = _build_trainer_args(ns, ns.run_name or "val")
+    if getattr(ns, "batch_size", None) is None:
+        args.batch_size = 8
+    results = model.eval(args, val_ds)
     print(json.dumps(results, indent=2, default=str))
 
 
@@ -158,22 +163,49 @@ def cmd_predict(ns):
     from focoos_tpu.model_manager import ModelManager
 
     model = ModelManager.get(ns.model, image_size=ns.im_size)
-    res = model.infer(ns.source, threshold=ns.threshold, annotate=ns.save)
+    threshold = ns.conf if ns.conf is not None else ns.threshold
+    res = model.infer(ns.source, threshold=threshold, annotate=ns.save)
     print(json.dumps(res.model_dump(), indent=2, default=str))
+    out_dir = ns.output_dir or "."
+    if ns.save or ns.save_json or ns.save_masks:
+        os.makedirs(out_dir, exist_ok=True)
     if ns.save and res.image is not None:
         from PIL import Image
 
-        out = ns.output or "prediction.jpg"
+        out = ns.output or os.path.join(out_dir, "prediction.jpg")
         Image.fromarray(res.image).save(out)
         print(f"saved annotated image → {out}")
+    if ns.save_json:
+        out = os.path.join(out_dir, "prediction.json")
+        with open(out, "w") as f:
+            json.dump(res.model_dump(), f, indent=2, default=str)
+        print(f"saved detections json → {out}")
+    if ns.save_masks:
+        # per-detection base64 PNG masks → individual PNG files
+        # (reference: commands/predict.py mask saving)
+        import base64
+        import io
+
+        from PIL import Image
+
+        n = 0
+        for i, det in enumerate(res.detections):
+            if det.mask:
+                img = Image.open(io.BytesIO(base64.b64decode(det.mask)))
+                out = os.path.join(out_dir, f"mask_{i}.png")
+                img.save(out)
+                n += 1
+        print(f"saved {n} mask PNGs → {out_dir}")
 
 
 def cmd_export(ns):
     from focoos_tpu.model_manager import ModelManager
     from focoos_tpu.ports import RuntimeType
 
+    runtime = ns.format or ns.runtime  # --format is the reference flag name
     model = ModelManager.get(ns.model, image_size=ns.im_size)
-    infer_model = model.export(RuntimeType(ns.runtime), out_dir=ns.output_dir, image_size=ns.im_size)
+    infer_model = model.export(RuntimeType(runtime), out_dir=ns.output_dir, image_size=ns.im_size,
+                               overwrite=ns.overwrite)
     print(f"exported → {infer_model.model_dir}")
 
 
@@ -192,18 +224,38 @@ def cmd_gradio(ns):
 
 
 def cmd_hub(ns):
+    """(reference: cli/commands/hub.py — models / datasets [--include-shared] /
+    download / dataset download|upload)"""
     from focoos_tpu.hub.focoos_hub import FocoosHUB
 
     hub = FocoosHUB(api_key=ns.api_key)
     if ns.hub_cmd == "models":
         for m in hub.list_remote_models():
-            print(f"{m.ref}  {m.name}  {m.task}  {m.status}")
+            print(f"{m.ref}  {m.name}  {m.task.value if hasattr(m.task, 'value') else m.task}  "
+                  f"{m.status.value if hasattr(m.status, 'value') else m.status}")
     elif ns.hub_cmd == "datasets":
-        for d in hub.list_remote_datasets():
-            print(d)
+        for d in hub.list_remote_datasets(include_shared=ns.include_shared):
+            spec = f"  train={d.spec.train_length} val={d.spec.valid_length} {d.spec.size_mb}MB" if d.spec else ""
+            task = d.task.value if hasattr(d.task, "value") else d.task
+            print(f"{d.ref}  {d.name}  {task}  {d.layout}{spec}")
     elif ns.hub_cmd == "download":
         path = hub.download_model_pth(ns.ref)
         print(f"downloaded → {path}")
+    elif ns.hub_cmd == "dataset":
+        ds = hub.get_remote_dataset(ns.ref)
+        if ns.dataset_action == "download":
+            path = ds.download_data(ns.path)
+            print(f"downloaded dataset → {path}")
+        elif ns.dataset_action == "upload":
+            if not ns.path:
+                raise SystemExit("hub dataset upload requires --path <data.zip>")
+            spec = ds.upload_data(ns.path)
+            info = ds.get_info()
+            print(f"uploaded {ns.path} → {ns.ref}")
+            print(f"  name: {info.get('name')}  task: {info.get('task')}  layout: {info.get('layout')}")
+            if spec:
+                print(f"  train={spec.get('train_length')} val={spec.get('valid_length')} "
+                      f"size={spec.get('size_mb')}MB")
 
 
 def main(argv=None):
@@ -219,6 +271,7 @@ def main(argv=None):
     p.add_argument("--dataset", required=True)
     p.add_argument("--task", default="detection")
     p.add_argument("--dataset-layout", default="roboflow_coco")
+    p.add_argument("--datasets-dir", default=None, help="root dir for named datasets")
     p.add_argument("--im-size", type=_parse_im_size, default=640)
     p.add_argument("--run-name", default=None)
     _add_trainer_args(p)
@@ -229,22 +282,30 @@ def main(argv=None):
     p.add_argument("--dataset", required=True)
     p.add_argument("--task", default="detection")
     p.add_argument("--dataset-layout", default="roboflow_coco")
+    p.add_argument("--datasets-dir", default=None, help="root dir for named datasets")
     p.add_argument("--im-size", type=_parse_im_size, default=640)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--run-name", default=None)
+    _add_trainer_args(p)  # reference val mirrors the full TrainerArgs surface too
 
     p = sub.add_parser("predict")
     p.add_argument("--model", required=True)
     p.add_argument("--source", required=True, help="image path or URL")
     p.add_argument("--im-size", type=_parse_im_size, default=None)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--conf", type=float, default=None, help="alias of --threshold (reference flag name)")
     p.add_argument("--save", action="store_true")
+    p.add_argument("--save-json", action="store_true", help="save detections to prediction.json")
+    p.add_argument("--save-masks", action="store_true", help="save per-detection mask PNGs")
     p.add_argument("--output", default=None)
+    p.add_argument("--output-dir", default=None)
 
     p = sub.add_parser("export")
     p.add_argument("--model", required=True)
     p.add_argument("--runtime", default="stablehlo")
+    p.add_argument("--format", default=None, help="alias of --runtime (reference flag name)")
     p.add_argument("--im-size", type=_parse_im_size, default=640)
     p.add_argument("--output-dir", default=None)
+    p.add_argument("--overwrite", action="store_true", help="re-export over an existing artifact dir")
 
     p = sub.add_parser("benchmark")
     p.add_argument("--model", required=True)
@@ -258,8 +319,13 @@ def main(argv=None):
     p.add_argument("--share", action="store_true")
 
     p = sub.add_parser("hub")
-    p.add_argument("hub_cmd", choices=["models", "datasets", "download"])
+    p.add_argument("hub_cmd", choices=["models", "datasets", "download", "dataset"])
+    p.add_argument("dataset_action", nargs="?", choices=["download", "upload"],
+                   help="with 'dataset': download or upload")
     p.add_argument("--ref", default=None)
+    p.add_argument("--path", default=None, help="dataset download dir / upload zip")
+    p.add_argument("--include-shared", action="store_true",
+                   help="datasets: include shared/public datasets")
     p.add_argument("--api-key", default=None)
 
     ns = parser.parse_args(argv)

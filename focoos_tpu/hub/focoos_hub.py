@@ -6,7 +6,7 @@ import os
 from typing import List, Optional
 
 from focoos_tpu.hub.api_client import ApiClient
-from focoos_tpu.ports import MODELS_DIR, ArtifactName, ModelInfo, RemoteModelInfo, User
+from focoos_tpu.ports import MODELS_DIR, ArtifactName, DatasetPreview, ModelInfo, RemoteModelInfo, User
 from focoos_tpu.utils.logger import get_logger
 
 logger = get_logger(__name__)
@@ -19,19 +19,12 @@ class FocoosHUB:
     def get_user_info(self) -> User:
         r = self.api_client.get("user/")
         r.raise_for_status()
-        d = r.json()
-        return User(email=d.get("email", ""), company=d.get("company"), quotas=d.get("quotas"))
+        return User.from_dict(r.json())
 
     def list_remote_models(self) -> List[RemoteModelInfo]:
         r = self.api_client.get("models/")
         r.raise_for_status()
-        return [
-            RemoteModelInfo(
-                ref=m["ref"], name=m["name"], task=m["task"], status=m["status"],
-                focoos_model=m.get("focoos_model"), description=m.get("description"),
-            )
-            for m in r.json()
-        ]
+        return [RemoteModelInfo.from_dict(m) for m in r.json()]
 
     def get_model_info(self, model_ref: str) -> dict:
         r = self.api_client.get(f"models/{model_ref}")
@@ -43,10 +36,12 @@ class FocoosHUB:
 
         return RemoteModel(model_ref, self.api_client)
 
-    def list_remote_datasets(self) -> List[dict]:
-        r = self.api_client.get("datasets/")
+    def list_remote_datasets(self, include_shared: bool = False) -> List[DatasetPreview]:
+        """(reference: focoos_hub.py:275) — typed previews; optionally also
+        datasets shared with the user."""
+        r = self.api_client.get("datasets/", params={"include_shared": include_shared})
         r.raise_for_status()
-        return r.json()
+        return [DatasetPreview.from_dict(d) for d in r.json()]
 
     def get_remote_dataset(self, ref: str):
         from focoos_tpu.hub.remote_dataset import RemoteDataset

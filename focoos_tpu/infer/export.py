@@ -27,15 +27,24 @@ def export_model(
     image_size: Optional[Union[int, Tuple[int, int]]] = None,
     batch_size: int = 1,
     size_buckets: Optional[Tuple] = None,
+    overwrite: bool = False,
 ):
     """→ InferModel over the exported artifact dir.
 
     ``size_buckets``: extra (H, W) sizes to also serialize (STABLEHLO only);
     the runtime dispatches each request to the closest bucket by area.
+    ``overwrite=False`` reuses a complete existing artifact dir (reference
+    ExportCfg.overwrite, ports.py:1335).
     """
     from focoos_tpu.infer.infer_model import InferModel
 
     out_dir = out_dir or os.path.join(MODELS_DIR, model.name, "export")
+    if not overwrite and os.path.isfile(os.path.join(out_dir, ArtifactName.INFO.value)) and (
+        runtime_type != RuntimeType.STABLEHLO
+        or os.path.isfile(os.path.join(out_dir, ArtifactName.STABLEHLO.value))
+    ):
+        logger.info(f"Reusing existing export at {out_dir} (overwrite=False)")
+        return InferModel(out_dir, runtime_type=runtime_type)
     os.makedirs(out_dir, exist_ok=True)
 
     size = image_size or model.im_size

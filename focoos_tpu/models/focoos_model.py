@@ -258,11 +258,14 @@ class FocoosModel:
         image_size: Optional[Union[int, Tuple[int, int]]] = None,
         batch_size: int = 1,
         size_buckets=None,
+        overwrite: bool = False,
     ):
         """Export an AOT-servable artifact and return an InferModel
         (reference: focoos_model.py:418-573). ``size_buckets`` serializes
-        extra fixed-shape StableHLO programs for shape-bucketed serving."""
+        extra fixed-shape StableHLO programs for shape-bucketed serving.
+        ``overwrite=False`` reuses an existing artifact dir (reference
+        ExportCfg.overwrite semantics)."""
         from focoos_tpu.infer.export import export_model
 
         return export_model(self, runtime_type, out_dir, image_size, batch_size,
-                            size_buckets=size_buckets)
+                            size_buckets=size_buckets, overwrite=overwrite)

@@ -461,6 +461,10 @@ class ModelInfo:
     latency: Optional[List[dict]] = None
     focoos_version: Optional[str] = None
     updated_at: Optional[str] = None
+    # round-trip tolerance (reference ports.py:1191): keys a newer/older hub
+    # schema carries that this dataclass doesn't model are preserved verbatim
+    # and re-emitted by dump_json — a reference-trained card parses losslessly
+    extras: Dict[str, Any] = field(default_factory=dict)
 
     @property
     def num_classes(self) -> int:
@@ -481,8 +485,9 @@ class ModelInfo:
             data["status"] = ModelStatus(data["status"])
         if isinstance(data.get("im_size"), list):
             data["im_size"] = tuple(data["im_size"])
-        known = {f.name for f in fields(cls)}
-        return cls(**{k: v for k, v in data.items() if k in known})
+        known = {f.name for f in fields(cls)} - {"extras"}
+        extras = {k: v for k, v in data.items() if k not in known}
+        return cls(**{k: v for k, v in data.items() if k in known}, extras=extras)
 
     def dump_json(self, path: str) -> str:
         if os.path.isdir(path) or not path.endswith(".json"):
@@ -502,8 +507,12 @@ class ModelInfo:
                 return o.tolist()
             raise TypeError(f"not serializable: {type(o)}")
 
+        data = asdict(self)
+        extras = data.pop("extras", None) or {}
+        # unknown-schema keys ride along (never clobbering modeled fields)
+        data = {**extras, **data}
         with open(path, "w", encoding="utf-8") as f:
-            json.dump(asdict(self), f, indent=2, default=default)
+            json.dump(data, f, indent=2, default=default)
         return path
 
 
@@ -527,6 +536,89 @@ class ExportCfg:
 # Hub DTOs ------------------------------------------------------------------
 
 
+def _dto_from_dict(cls, data: dict):
+    """Tolerant dict→dataclass: known keys bind, unknown keys are dropped
+    (hub API may grow fields; parsing must not break)."""
+    known = {f.name for f in fields(cls)}
+    return cls(**{k: v for k, v in (data or {}).items() if k in known})
+
+
+@dataclass
+class TrainingInfo:
+    """Training-job metadata attached to a hub model (focoos/ports.py:161)."""
+
+    algorithm_name: Optional[str] = ""
+    instance_device: Optional[str] = None
+    instance_type: Optional[str] = None
+    volume_size: Optional[int] = None
+    main_status: Optional[str] = None
+    failure_reason: Optional[str] = None
+    elapsed_time: Optional[int] = None
+    status_transitions: List[dict] = field(default_factory=list)
+    start_time: Optional[str] = None
+    end_time: Optional[str] = None
+    artifact_location: Optional[str] = None
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "TrainingInfo":
+        return _dto_from_dict(cls, data)
+
+
+@dataclass
+class DatasetSpec:
+    """Dataset composition summary (focoos/ports.py:216)."""
+
+    train_length: int = 0
+    valid_length: int = 0
+    size_mb: float = 0.0
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "DatasetSpec":
+        return _dto_from_dict(cls, data)
+
+
+@dataclass
+class DatasetPreview:
+    """Hub dataset listing record (focoos/ports.py:233)."""
+
+    ref: str
+    name: str
+    task: Optional[Task] = None
+    layout: Optional[str] = None
+    description: Optional[str] = None
+    spec: Optional[DatasetSpec] = None
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "DatasetPreview":
+        d = dict(data or {})
+        if d.get("task"):
+            try:
+                d["task"] = Task(d["task"])
+            except ValueError:
+                d["task"] = None
+        if isinstance(d.get("spec"), dict):
+            d["spec"] = DatasetSpec.from_dict(d["spec"])
+        return _dto_from_dict(cls, d)
+
+
+@dataclass
+class Quotas:
+    """Account usage quotas (focoos/ports.py:793)."""
+
+    total_inferences: int = 0
+    max_inferences: int = 0
+    used_storage_gb: float = 0.0
+    max_storage_gb: float = 0.0
+    active_training_jobs: List[str] = field(default_factory=list)
+    max_active_training_jobs: int = 0
+    used_mlg4dnxlarge_training_jobs_hours: float = 0.0
+    max_mlg4dnxlarge_training_jobs_hours: float = 0.0
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "Quotas":
+        return _dto_from_dict(cls, data)
+
+
 @dataclass
 class RemoteModelInfo:
     """Hub-side model descriptor (focoos/ports.py:256)."""
@@ -537,11 +629,36 @@ class RemoteModelInfo:
     status: ModelStatus
     focoos_model: Optional[str] = None
     description: Optional[str] = None
+    is_managed: Optional[bool] = None
+    owner_ref: Optional[str] = None
+    config: Optional[dict] = None
+    model_family: Optional[str] = None
+    metrics: Optional[dict] = None
     classes: Optional[List[str]] = None
     im_size: Optional[int] = None
     val_metrics: Optional[dict] = None
+    training_info: Optional[TrainingInfo] = None
+    dataset: Optional[DatasetPreview] = None
+    hyperparameters: Optional[dict] = None
+    focoos_version: Optional[str] = None
     location: Optional[str] = None
+    created_at: Optional[str] = None
     updated_at: Optional[str] = None
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "RemoteModelInfo":
+        d = dict(data or {})
+        d["task"] = Task(d["task"]) if not isinstance(d.get("task"), Task) else d["task"]
+        if not isinstance(d.get("status"), ModelStatus):
+            try:
+                d["status"] = ModelStatus(d.get("status"))
+            except ValueError:
+                d["status"] = ModelStatus.CREATED
+        if isinstance(d.get("training_info"), dict):
+            d["training_info"] = TrainingInfo.from_dict(d["training_info"])
+        if isinstance(d.get("dataset"), dict):
+            d["dataset"] = DatasetPreview.from_dict(d["dataset"])
+        return _dto_from_dict(cls, d)
 
 
 @dataclass
@@ -553,4 +670,13 @@ class User:
     updated_at: Optional[str] = None
     company: Optional[str] = None
     api_key: Optional[str] = None
-    quotas: Optional[dict] = None
+    quotas: Optional[Quotas] = None
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "User":
+        d = dict(data or {})
+        if isinstance(d.get("api_key"), dict):  # reference wraps it: ApiKey{key}
+            d["api_key"] = d["api_key"].get("key")
+        if isinstance(d.get("quotas"), dict):
+            d["quotas"] = Quotas.from_dict(d["quotas"])
+        return _dto_from_dict(cls, d)

@@ -163,3 +163,121 @@ def test_remote_dataset_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setattr(api, "delete", lambda path, **kw: FakeResponse({}, 500))
     with pytest.raises(RuntimeError):
         ds.delete_data()
+
+
+def test_hub_dto_depth_full_payload(hub, monkeypatch):
+    """Typed DTO parsing of a full reference-shaped API payload: User with
+    ApiKey wrapper + Quotas, RemoteModelInfo with TrainingInfo + DatasetPreview
+    + spec (reference ports.py:161-330,787-833)."""
+    user_payload = {
+        "email": "a@b.c", "company": "x",
+        "created_at": "2026-01-01", "updated_at": "2026-02-01",
+        "api_key": {"key": "sk-123"},
+        "quotas": {
+            "total_inferences": 10, "max_inferences": 100,
+            "used_storage_gb": 1.5, "max_storage_gb": 10.0,
+            "active_training_jobs": ["j1"], "max_active_training_jobs": 2,
+            "used_mlg4dnxlarge_training_jobs_hours": 0.5,
+            "max_mlg4dnxlarge_training_jobs_hours": 5.0,
+            "some_future_field": True,  # unknown keys must not break parsing
+        },
+    }
+    monkeypatch.setattr(hub.api_client, "get", lambda path, **kw: FakeResponse(user_payload))
+    user = hub.get_user_info()
+    assert user.api_key == "sk-123"
+    assert user.quotas.max_storage_gb == 10.0
+    assert user.quotas.active_training_jobs == ["j1"]
+
+    model_payload = [{
+        "ref": "r1", "name": "m1", "task": "detection", "status": "TRAINING_COMPLETED",
+        "is_managed": False, "owner_ref": "u1", "focoos_model": "fai-detr-m-coco",
+        "focoos_version": "0.25.0", "metrics": {"bbox/AP": 44.7},
+        "training_info": {"main_status": "Completed", "instance_type": "g4dn", "artifact_location": "s3://x"},
+        "dataset": {"ref": "d1", "name": "coco", "task": "detection", "layout": "roboflow_coco",
+                    "spec": {"train_length": 100, "valid_length": 10, "size_mb": 5.0}},
+        "hyperparameters": {"lr": 1e-4},
+        "unknown_api_field": 1,
+    }]
+    monkeypatch.setattr(hub.api_client, "get", lambda path, **kw: FakeResponse(model_payload))
+    m = hub.list_remote_models()[0]
+    assert m.training_info.main_status == "Completed"
+    assert m.dataset.spec.train_length == 100
+    assert m.hyperparameters["lr"] == 1e-4
+
+
+def test_list_remote_datasets_typed_and_shared_flag(hub, monkeypatch):
+    seen = {}
+
+    def fake_get(path, params=None, **kw):
+        seen["params"] = params
+        return FakeResponse([{
+            "ref": "d1", "name": "chess", "task": "detection", "layout": "roboflow_coco",
+            "spec": {"train_length": 8, "valid_length": 2, "size_mb": 1.0},
+        }])
+
+    monkeypatch.setattr(hub.api_client, "get", fake_get)
+    out = hub.list_remote_datasets(include_shared=True)
+    assert seen["params"] == {"include_shared": True}
+    assert out[0].spec.valid_length == 2 and out[0].task.value == "detection"
+
+
+def test_cli_hub_dataset_download_and_upload(tmp_path, monkeypatch, capsys):
+    """focoos-tpu hub dataset download/upload (reference: cli/commands/hub.py
+    dataset_app) wired through a mocked FocoosHUB."""
+    from focoos_tpu.cli import cli as cli_mod
+
+    class FakeDS:
+        def download_data(self, path=None):
+            return str(tmp_path / "data")
+
+        def upload_data(self, path):
+            return {"train_length": 4, "valid_length": 2, "size_mb": 1.2}
+
+        def get_info(self):
+            return {"name": "chess", "task": "detection", "layout": "roboflow_coco"}
+
+    class FakeHub:
+        def __init__(self, **kw):
+            pass
+
+        def get_remote_dataset(self, ref):
+            assert ref == "my-ds"
+            return FakeDS()
+
+    import focoos_tpu.hub.focoos_hub as hub_mod
+
+    monkeypatch.setattr(hub_mod, "FocoosHUB", FakeHub)
+    monkeypatch.setattr(cli_mod.os, "_exit", lambda code: None)
+
+    cli_mod.main(["hub", "dataset", "download", "--ref", "my-ds"])
+    assert "downloaded dataset" in capsys.readouterr().out
+
+    zp = tmp_path / "d.zip"
+    zp.write_bytes(b"z")
+    cli_mod.main(["hub", "dataset", "upload", "--ref", "my-ds", "--path", str(zp)])
+    out = capsys.readouterr().out
+    assert "uploaded" in out and "train=4" in out
+
+
+def test_modelinfo_reference_card_lossless_roundtrip(tmp_path):
+    """A reference-trained model card (extra/unknown keys included) parses and
+    round-trips without loss (VERDICT r3 missing #5)."""
+    import os
+
+    from focoos_tpu.ports import ModelInfo
+
+    card = {
+        "name": "m", "model_family": "fai_detr", "task": "detection",
+        "im_size": 640, "classes": ["a"], "config": {"k": 1},
+        "ref": "hub-ref-1", "focoos_version": "0.25.0", "latency": [{"fps": 87}],
+        "train_args": {"max_iters": 10}, "updated_at": "2026-01-01",
+        "status": "TRAINING_COMPLETED",
+        "a_future_hub_field": {"nested": True},
+    }
+    mi = ModelInfo.from_json(card)
+    assert mi.ref == "hub-ref-1" and mi.focoos_version == "0.25.0"
+    assert mi.extras == {"a_future_hub_field": {"nested": True}}
+    p = mi.dump_json(str(tmp_path))
+    rt = json.load(open(p))
+    for k, v in card.items():
+        assert rt[k] == v, k

@@ -49,6 +49,13 @@ def main():
             "val_metrics": headline,
             "config": src["config"],
             "classes": src["classes"],
+            # card-schema compat (reference ports.py:1191): hub-facing fields a
+            # reference-trained card carries — provenance data, kept verbatim
+            "ref": src.get("ref"),
+            "focoos_version": src.get("focoos_version"),
+            "updated_at": src.get("updated_at"),
+            "train_args": src.get("train_args"),
+            "latency": src.get("latency"),
         }
         out = os.path.join(OUT_DIR, fn)
         with open(out, "w") as f:
