@@ -8,7 +8,10 @@ import pytest
 from focoos_tpu.nn.backbone.resnet import ResNet, ResnetConfig
 
 
-@pytest.mark.parametrize("depth,expansion", [(18, 1), (50, 4)])
+@pytest.mark.parametrize(
+    "depth,expansion",
+    [(18, 1), pytest.param(50, 4, marks=pytest.mark.slow)],  # depth-50 is the heavy compile
+)
 def test_resnet_shapes(depth, expansion):
     cfg = ResnetConfig(depth=depth, variant="d", freeze_norm=False, use_pretrained=False)
     model = ResNet(config=cfg)
@@ -39,6 +42,7 @@ def test_resnet_variant_b_stem():
     assert out["res2"].shape == (1, 16, 16, 64)
 
 
+@pytest.mark.slow
 def test_resnet_remat_identical_numerics():
     """jax.checkpoint rematerialization: forward bit-identical, grads equal
     to reassociation noise."""
@@ -68,6 +72,7 @@ def test_resnet_remat_identical_numerics():
     assert max(jax.tree.leaves(rel)) < 1e-5
 
 
+@pytest.mark.slow
 def test_swin_remat_forward_identical():
     import jax
 

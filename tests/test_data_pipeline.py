@@ -85,6 +85,7 @@ def test_auto_dataset_end_to_end(synth_dir):
     assert len(entry.instances) >= 1
 
 
+@pytest.mark.slow
 def test_train_loader_batches(synth_dir):
     from focoos_tpu.data.auto_dataset import AutoDataset
     from focoos_tpu.data.loaders import build_train_loader

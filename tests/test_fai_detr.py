@@ -22,6 +22,7 @@ def tiny_detr():
     return model, vars_, cfg
 
 
+@pytest.mark.slow
 def test_forward_shapes(tiny_detr):
     model, vars_, cfg = tiny_detr
     x = jnp.ones((2, 128, 128, 3), jnp.float32) * 127.0

@@ -14,6 +14,8 @@ loss does its own masked normalization under pjit).
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.slow, pytest.mark.dist]
+
 TINY = {
     "fai_detr": ("fai-detr-m-coco", dict(num_queries=10, transformer_predictor_dec_layers=2)),
     "fai_mf": (

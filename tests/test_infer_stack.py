@@ -9,6 +9,8 @@ import pytest
 from focoos_tpu.model_manager import ModelManager
 from focoos_tpu.ports import RuntimeType
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_model():

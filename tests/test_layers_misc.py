@@ -110,6 +110,7 @@ def test_solver_freeze_masks():
     assert float(wd["head"]["classifier"]["kernel"]) == pytest.approx(1e-4)
 
 
+@pytest.mark.slow
 def test_swin_convnext_drop_path_train_mode(key):
     """drop_path active in train mode changes outputs; eval is deterministic."""
     from focoos_tpu.nn.backbone.convnextv2 import ConvNeXtV2, ConvNeXtV2Config

@@ -7,6 +7,8 @@ import pytest
 
 from focoos_tpu.model_manager import ModelManager
 
+pytestmark = pytest.mark.slow
+
 FAMILY_CASES = [
     ("fai-detr-m-coco", dict(num_queries=10, transformer_predictor_dec_layers=2), 96),
     ("fai-cls-n-coco", dict(), 96),

@@ -202,6 +202,7 @@ def test_pallas_nms_interpret_matches_xla_loop():
         np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_msda_shared_bwd_matches_autodiff():
     """The hand-derived shared-intermediate MSDA backward
     (ops/deformable.py::_msda_sep_bwd_shared — kept as a measured negative

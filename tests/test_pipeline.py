@@ -17,6 +17,8 @@ from jax.sharding import PartitionSpec as P
 from focoos_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from focoos_tpu.parallel.pipeline import PIPE_AXIS, pipeline_apply, stack_stage_params
 
+pytestmark = [pytest.mark.slow, pytest.mark.dist]
+
 S, B, D, M = 4, 8, 16, 4
 
 

@@ -126,6 +126,7 @@ class _TinyTransformerConv:
         return Net()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["fsdp", "fsdp_tp"])
 def test_sharded_train_matches_single_device(mode, mesh2d):
     module = _TinyTransformerConv().build()

@@ -114,6 +114,7 @@ def test_timer_pause_resume_and_took(caplog):
     assert add(2, 3) == 5
 
 
+@pytest.mark.slow
 def test_retry_if_oom_retries_then_succeeds():
     from focoos_tpu.utils.memory import retry_if_oom
 
