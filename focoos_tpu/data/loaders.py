@@ -1,15 +1,27 @@
 """Data loaders (reference: focoos/data/loaders.py).
 
-The torch DataLoader worker-process machinery is replaced by a thread-pool
-prefetcher: mapper work is numpy/cv2 (GIL-releasing), batches are assembled
-on host and device_put by the trainer. The infinite ``TrainingSampler``
-shuffle stream is sharded per host (jax.process_index) like the reference's
-rank sharding (loaders.py:61-65)."""
+Two prefetcher backends feed the trainer's batch queue:
+
+- ``_ProcessPrefetcher`` (default for ``workers>=2``): real worker processes,
+  the analog of torch DataLoader workers (reference loaders.py:94-132 +
+  datasets/serialize.py:11). The mapper's Python-heavy work (PIL-antialiased
+  resize ~9 ms/img, COCO ann decoding) runs GIL-free across cores; only
+  (seq, index) tasks and mapped entries cross the pipe. Batches are collated
+  in the parent (one contiguous stack) and device_put by the trainer.
+- ``_Prefetcher`` (threads): fallback for ``workers<=1``, non-fork platforms,
+  or ``FOCOOS_WORKER_PROCESSES=0``; fine when the mapper is cv2-bound
+  (GIL-releasing) but GIL-bound for the PIL parity path.
+
+The infinite ``TrainingSampler`` shuffle stream is sharded per host
+(jax.process_index) like the reference's rank sharding (loaders.py:61-65)."""
 
 from __future__ import annotations
 
+import multiprocessing as mp
+import os
 import queue
 import threading
+import traceback
 from typing import Iterator, List
 
 import numpy as np
@@ -112,6 +124,143 @@ class _Prefetcher:
             yield self._q.get()
 
 
+class _WorkerFailure:
+    """Exception transported across the worker pipe."""
+
+    def __init__(self, exc: BaseException):
+        self.message = f"{type(exc).__name__}: {exc}\n{traceback.format_exc()}"
+
+
+def _worker_loop(dataset, task_q, result_q, seed: int):
+    """Worker-process body: map sampler indices through the dataset.
+
+    Runs ``dataset[idx]`` (MapDataset applies the augmentation mapper) and
+    ships the mapped entry back. Never touches JAX — fork-safe."""
+    np.random.seed(seed)  # distinct augmentation streams per worker
+    import random as _random
+
+    _random.seed(seed)
+    while True:
+        item = task_q.get()
+        if item is None:
+            return
+        seq, idx = item
+        try:
+            result_q.put((seq, dataset[idx]))
+        except BaseException as e:  # surfaced in the parent
+            result_q.put((seq, _WorkerFailure(e)))
+
+
+class _ProcessPrefetcher:
+    """Worker-process mapper executor feeding an ordered batch queue
+    (reference: torch DataLoader workers, focoos/data/loaders.py:94-132).
+
+    Per-sample (seq, idx) tasks fan out to N forked workers; results are
+    reordered by seq so the entry stream is deterministic (identical to the
+    thread backend and to ``workers=0``). Collation runs in the parent —
+    one contiguous numpy stack per batch, no large pickles on the task path.
+    """
+
+    def __init__(self, dataset, sampler, batch_size: int, num_workers: int, collate,
+                 aspect_ratio_grouping: bool = False, seed: int = 0,
+                 start_method: str = "fork"):
+        self._dataset = dataset
+        self._sampler_iter = iter(sampler)
+        self._batch_size = batch_size
+        self._collate = collate
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._workers = max(1, num_workers)
+        self._ar_grouping = aspect_ratio_grouping
+        self._seed = seed
+        self._start_method = start_method
+        self._started = False
+        self._procs: List[mp.Process] = []
+
+    def _start(self):
+        ctx = mp.get_context(self._start_method)
+        # in-flight bound: keeps ~4 batches of tasks queued without the feeder
+        # racing ahead of consumption (memory bound on mapped entries)
+        self._task_q = ctx.Queue(maxsize=4 * self._batch_size)
+        self._result_q = ctx.Queue()
+        for w in range(self._workers):
+            p = ctx.Process(
+                target=_worker_loop,
+                args=(self._dataset, self._task_q, self._result_q, self._seed * 1000 + w),
+                daemon=True,
+            )
+            p.start()
+            self._procs.append(p)
+        threading.Thread(target=self._feeder, daemon=True).start()
+        threading.Thread(target=self._producer, daemon=True).start()
+        self._started = True
+        logger.info(f"data loader: {self._workers} worker processes ({self._start_method})")
+
+    def _feeder(self):
+        seq = 0
+        while True:
+            idx = next(self._sampler_iter)
+            self._task_q.put((seq, idx))  # blocks at the in-flight bound
+            seq += 1
+
+    def _producer(self):
+        reorder = {}
+        next_seq = 0
+        buckets: List[list] = [[], []]
+        batch: List = []
+        while True:
+            seq, payload = self._result_q.get()
+            reorder[seq] = payload
+            while next_seq in reorder:
+                entry = reorder.pop(next_seq)
+                next_seq += 1
+                if isinstance(entry, _WorkerFailure):
+                    self._q.put(RuntimeError(f"data worker failed: {entry.message}"))
+                    return
+                if self._ar_grouping:
+                    b = buckets[0] if _Prefetcher._entry_is_wide(entry) else buckets[1]
+                    b.append(entry)
+                    if len(b) == self._batch_size:
+                        self._q.put(self._collate(b[:]))
+                        b.clear()
+                else:
+                    batch.append(entry)
+                    if len(batch) == self._batch_size:
+                        self._q.put(self._collate(batch[:]))
+                        batch.clear()
+
+    def close(self):
+        for p in self._procs:
+            p.terminate()
+        self._procs.clear()
+
+    def __iter__(self):
+        if not self._started:
+            self._start()
+        while True:
+            item = self._q.get()
+            if isinstance(item, BaseException):
+                self.close()
+                raise item
+            yield item
+
+
+def make_prefetcher(dataset, sampler, batch_size: int, num_workers: int, collate,
+                    aspect_ratio_grouping: bool = False, seed: int = 0):
+    """Pick the prefetcher backend (processes by default, like the reference's
+    DataLoader ``workers=N``; threads when workers<=1 / no fork / opted out)."""
+    env = os.environ.get("FOCOOS_WORKER_PROCESSES")
+    start = os.environ.get("FOCOOS_WORKER_START", "fork")  # spawn = fork-safety paranoia
+    use_procs = num_workers >= 2 and start in mp.get_all_start_methods()
+    if env is not None:
+        use_procs = env not in ("0", "false", "no", "thread", "threads") and num_workers >= 1
+    if use_procs:
+        return _ProcessPrefetcher(dataset, sampler, batch_size, num_workers, collate,
+                                  aspect_ratio_grouping=aspect_ratio_grouping, seed=seed,
+                                  start_method=start)
+    return _Prefetcher(dataset, sampler, batch_size, num_workers, collate,
+                       aspect_ratio_grouping=aspect_ratio_grouping)
+
+
 def device_prefetch(it, depth: int = 2):
     """Run an iterator in a background thread, ``depth`` items ahead.
 
@@ -165,8 +314,8 @@ def build_train_loader(
         batch, targets = processor.preprocess_entries(entries, max_instances=max_instances)
         return batch, targets
 
-    return _Prefetcher(dataset, sampler, per_host, num_workers, collate,
-                       aspect_ratio_grouping=aspect_ratio_grouping)
+    return make_prefetcher(dataset, sampler, per_host, num_workers, collate,
+                           aspect_ratio_grouping=aspect_ratio_grouping, seed=seed)
 
 
 def build_test_loader(dataset, batch_size: int = 8):

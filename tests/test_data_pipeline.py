@@ -365,3 +365,41 @@ def test_imagelist_keeps_uint8_dtype():
     assert il.tensor.dtype == np.uint8
     fl = ImageList.from_tensors([i.astype(np.float32) for i in ims])
     assert fl.tensor.dtype == np.float32
+
+
+def test_process_prefetcher_deterministic_order_and_parity():
+    """Process workers yield the SAME entry stream as the thread backend
+    (seq reordering) — determinism parity with workers=0 (VERDICT r3 next #3;
+    reference: torch DataLoader worker ordering, data/loaders.py:94-132)."""
+    from focoos_tpu.data.loaders import _Prefetcher, _ProcessPrefetcher
+
+    class Ds:
+        def __getitem__(self, i):
+            return {"idx": i, "payload": np.full((4, 4), i, np.int32)}
+
+    sampler = list(range(24))
+    collate = lambda entries: [e["idx"] for e in entries]  # noqa: E731
+
+    tp = _Prefetcher(Ds(), iter(sampler), batch_size=4, num_workers=2, collate=collate)
+    pp = _ProcessPrefetcher(Ds(), iter(sampler), batch_size=4, num_workers=2, collate=collate)
+    it_t, it_p = iter(tp), iter(pp)
+    for _ in range(6):
+        assert next(it_t) == next(it_p)
+    pp.close()
+
+
+def test_process_prefetcher_surfaces_worker_failure():
+    from focoos_tpu.data.loaders import _ProcessPrefetcher
+
+    class Ds:
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("boom at 3")
+            return {"idx": i}
+
+    pp = _ProcessPrefetcher(Ds(), iter(range(16)), batch_size=2, num_workers=2,
+                            collate=lambda e: e)
+    it = iter(pp)
+    with pytest.raises(RuntimeError, match="boom at 3"):
+        for _ in range(8):
+            next(it)
