@@ -57,11 +57,22 @@ class FocoosModel:
         if variables is not None:
             self.variables = variables
         else:
-            self.variables = self._init_variables()
-            if init_weights and weights_dir:
-                local = os.path.join(weights_dir, ArtifactName.WEIGHTS.value)
-                if os.path.isfile(local):
+            local = os.path.join(weights_dir, ArtifactName.WEIGHTS.value) if weights_dir else None
+            if init_weights and local and os.path.isfile(local):
+                # fast path: a checkpoint that covers EVERY leaf needs no init
+                # compute at all — eval_shape gives the structure, the npz
+                # fills it (matters over remote device tunnels, where eager
+                # init costs one mini-compile per op: 313 s for fai-detr-l)
+                loaded = ckpt_util.load_variables_npz(local)
+                filled, skipped, missing = ckpt_util.fill_structure(self._variables_structure(), loaded)
+                if not skipped and not missing:
+                    self.variables = jax.tree.map(jnp.asarray, filled)
+                    logger.info(f"Loaded weights from {local} (structure fill, no init)")
+                else:
+                    self.variables = self._init_variables()
                     self.load_weights(local)
+            else:
+                self.variables = self._init_variables()
 
     # ------------------------------------------------------------------
     @property
@@ -81,11 +92,28 @@ class FocoosModel:
         s = self.model_info.im_size or 640
         return (s, s) if isinstance(s, int) else tuple(s)
 
+    def _variables_structure(self):
+        """Variable pytree as ShapeDtypeStructs — tracing only, zero compute."""
+        import functools
+
+        h, w = self.im_size
+        x = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
+        fn = functools.partial(self.module.init, train=False)
+        return jax.eval_shape(fn, jax.random.PRNGKey(0), x)
+
     def _init_variables(self) -> Dict[str, Any]:
+        import functools
+
         h, w = self.im_size
         x = jnp.zeros((1, h, w, 3), jnp.float32)
+        fn = functools.partial(self.module.init, train=False)
+        if jax.default_backend() != "cpu":
+            # one fused init program (persistently cached) instead of one
+            # mini-compile per op — eager init over a remote device tunnel
+            # costs ~0.56 s per op x 556 ops on fai-detr-l
+            fn = jax.jit(fn)
         with jax.default_device(jax.local_devices()[0]):
-            variables = self.module.init(jax.random.PRNGKey(0), x, train=False)
+            variables = fn(jax.random.PRNGKey(0), x)
         return jax.tree.map(jnp.asarray, dict(variables))
 
     def load_weights(self, path: str, strict: bool = False) -> None:

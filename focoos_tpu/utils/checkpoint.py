@@ -54,6 +54,35 @@ def tree_size_mb(tree: Any) -> float:
     return sum(leaf.size * leaf.dtype.itemsize for leaf in jax.tree_util.tree_leaves(tree)) / 1e6
 
 
+def fill_structure(structure: Any, source: Dict[str, Any]) -> tuple[Dict[str, Any], list, list]:
+    """Place checkpoint arrays into an ``eval_shape`` variable structure.
+
+    ``structure`` is a pytree of ShapeDtypeStructs (no materialized arrays);
+    leaves whose path+shape match a source array are filled with it (cast to
+    the structure dtype). Returns (filled, skipped, missing): when both lists
+    are empty the checkpoint fully covers the model and NO init compute is
+    needed — the fast load path for pretrained models on remote devices."""
+    paths = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(structure)[0]:
+        key = "/".join(
+            str(p.key) if hasattr(p, "key") else str(p.idx) if hasattr(p, "idx") else str(p) for p in path
+        )
+        paths[key] = leaf
+    sflat = {}
+    for collection, tree in source.items():
+        sflat.update(flatten_tree(tree, prefix=f"{collection}/"))
+    filled, skipped, missing = {}, [], []
+    for k, spec in paths.items():
+        if k in sflat:
+            if tuple(sflat[k].shape) == tuple(spec.shape):
+                filled[k] = sflat[k].astype(spec.dtype)
+            else:
+                skipped.append(k)
+        else:
+            missing.append(k)
+    return unflatten_tree(filled), skipped, missing
+
+
 def merge_compatible(
     target: Dict[str, Any], source: Dict[str, Any], strict: bool = False
 ) -> tuple[Dict[str, Any], list, list]:
