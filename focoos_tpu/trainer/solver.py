@@ -64,7 +64,12 @@ def build_schedule(
             return base_lr * w * frac
 
     elif name == "MULTISTEP":
-        milestones = [int(m * max_iters) for m in extra.pop("milestones", [0.5, 0.75])]
+        # reference default: NO milestones — constant LR unless the user
+        # passes scheduler_extra={"milestones": [...]} (WarmupMultiStepLR
+        # lr_scheduler.py:78 milestones=[]). A [0.5, 0.75] default here
+        # silently trained at 10-100x lower LR in the final half vs the
+        # reference — caught by tools/parity_train.py closed-loop drift.
+        milestones = [int(m * max_iters) for m in extra.pop("milestones", [])]
         gamma = float(extra.pop("gamma", 0.1))
 
         def sched(step):

@@ -31,6 +31,12 @@ def test_schedules():
     assert float(s(jnp.asarray(0))) < 0.2  # warmup
     assert abs(float(s(jnp.asarray(20))) - 1.0) < 1e-6
     assert abs(float(s(jnp.asarray(60))) - 0.1) < 1e-6
+    # default MULTISTEP = constant LR, NO milestones (reference
+    # WarmupMultiStepLR defaults milestones=[], lr_scheduler.py:78 — a
+    # [0.5,0.75] default silently under-trained the back half of every run)
+    s0 = build_schedule("MULTISTEP", 1.0, 100, None)
+    for it in (0, 49, 50, 75, 99):
+        assert abs(float(s0(jnp.asarray(it))) - 1.0) < 1e-9, it
     c = build_schedule("COSINE", 1.0, 100, None)
     assert float(c(jnp.asarray(0))) == 1.0
     assert float(c(jnp.asarray(100))) < 1e-6
