@@ -64,13 +64,52 @@ def _device_semantic_argmax(logits, masks):
 
         def fn(lg, mk):
             sem = jnp.einsum("bqc,bqhw->bchw", lg.astype(jnp.float32), mk.astype(jnp.float32))
-            return jnp.argmax(sem, axis=1).astype(jnp.int32)
+            am = jnp.argmax(sem, axis=1)
+            # uint8 label map when it fits (ADE=150 classes): 4x less D2H
+            return am.astype(jnp.uint8 if lg.shape[-1] <= 255 else jnp.int32)
 
         _DEVICE_SEM_ARGMAX = jax.jit(fn)
     return _DEVICE_SEM_ARGMAX(logits, masks)
 
 
 _DEVICE_SEM_ARGMAX = None
+_DEVICE_INST_DECODE = {}
+
+
+def _device_instance_decode(logits, masks, top_k: int, mask_threshold: float):
+    """On-device instance decode for eval (VERDICT r3 next #5).
+
+    Runs flat top-k over [Q·C] class probs, gathers the k masks, computes the
+    mask-score rescoring, binarizes (SAME order as the reference: after the
+    model's bilinear upsample to input resolution — fai_mf/processor.py:107-141)
+    and BIT-PACKS the binary masks. Only (scores, labels, packed bits) leave
+    the device: 1 bit/pixel instead of the bf16 [B, Q, H, W] stack — a 16-32x
+    D2H reduction, which dominated instance-seg eval wall time.
+    Returns (scores [B,K], labels [B,K] int32, packed [B,K,ceil(HW/8)] uint8).
+    """
+    import jax
+
+    key = (int(top_k), float(mask_threshold), logits.shape, masks.shape)
+    if key not in _DEVICE_INST_DECODE:
+        import jax.numpy as jnp
+
+        def fn(lg, mk):
+            b, q, c = lg.shape
+            flat = lg.astype(jnp.float32).reshape(b, q * c)
+            scores, idx = jax.lax.top_k(flat, min(top_k, q * c))
+            labels = (idx % c).astype(jnp.int32)
+            qidx = idx // c
+            mp = jax.vmap(lambda m, qi: m[qi])(mk.astype(jnp.float32), qidx)  # [b,k,h,w]
+            binm = mp > mask_threshold
+            small = binm.astype(jnp.float32) * 1e-3
+            k = mp.shape[1]
+            num = (small.reshape(b, k, -1) * mp.reshape(b, k, -1)).sum(-1)
+            den = small.reshape(b, k, -1).sum(-1) + 1e-6
+            packed = jnp.packbits(binm.reshape(b, k, -1), axis=-1)
+            return scores * (num / den), labels, packed
+
+        _DEVICE_INST_DECODE[key] = jax.jit(fn)
+    return _DEVICE_INST_DECODE[key](logits, masks)
 
 
 class MaskFormerProcessor(Processor):
@@ -239,6 +278,48 @@ class MaskFormerProcessor(Processor):
             for i, entry in enumerate(batched_inputs):
                 size = entry.image.shape[:2] if entry.image is not None else pred_maps.shape[-2:]
                 results.append({"sem_seg": pred_maps[i][: size[0], : size[1]]})
+            return results
+
+        if self.postprocessing_type != "semantic" and not os.environ.get("FOCOOS_INSTSEG_EVAL_HOST"):
+            # Device path (default): top-k + mask-score + binarize run on
+            # device; only bit-packed binary masks are fetched (1 bit/px vs a
+            # bf16 [B, Q, H, W] stack ≈ 16-32x less D2H — the dominant eval
+            # cost). Semantics delta vs the host path: binarize happens at
+            # model input resolution (reference order: model bilinear-upsample
+            # THEN threshold — same order here) and the resize to the original
+            # image size is NEAREST on the binary mask instead of bilinear on
+            # floats — boundary-pixel-only deltas, same class as the semseg
+            # device argmax path above. FOCOOS_INSTSEG_EVAL_HOST=1 restores
+            # the exact legacy path (reference: fai_mf/processor.py:107-141).
+            import cv2
+
+            from focoos_tpu.structures import BitMasks, Instances
+
+            h_in, w_in = output.masks.shape[-2:]
+            scores_d, labels_d, packed_d = _device_instance_decode(
+                output.logits, output.masks, self.top_k, self.mask_threshold
+            )
+            scores_d = np.asarray(scores_d)
+            labels_d = np.asarray(labels_d)
+            packed_d = np.asarray(packed_d)
+            results = []
+            for i, entry in enumerate(batched_inputs):
+                size = entry.image.shape[:2] if entry.image is not None else (h_in, w_in)
+                height, width = entry.height or size[0], entry.width or size[1]
+                k = packed_d.shape[1]
+                binm = np.unpackbits(packed_d[i], axis=-1, count=h_in * w_in).reshape(k, h_in, w_in)
+                binm = binm[:, : size[0], : size[1]]
+                if (size[0], size[1]) != (height, width):
+                    binm = np.stack([
+                        cv2.resize(m, (width, height), interpolation=cv2.INTER_NEAREST) for m in binm
+                    ]) if k else binm.reshape(0, height, width)
+                binm = binm.astype(bool)
+                bm = BitMasks(binm)
+                inst = Instances(
+                    (height, width), boxes=bm.get_bounding_boxes(), masks=bm,
+                    scores=scores_d[i], classes=labels_d[i].astype(np.int64),
+                )
+                results.append({"instances": inst})
             return results
 
         cls_pred = np.asarray(output.logits)

@@ -132,3 +132,66 @@ def test_semseg_eval_device_path_matches_host_path(monkeypatch):
         # tolerate float-order argmax tie flips between einsum backends
         agree = (dmap == hmap).mean()
         assert agree > 0.999, f"device/host semseg eval disagree: {agree}"
+
+
+def test_mf_instance_eval_device_matches_host(monkeypatch):
+    """Device instance decode (top-k + mask-score + binarize + packbits on
+    device) == host instance_inference when no resize is involved — exact
+    same math, only the transport differs (VERDICT r3 next #5)."""
+    import jax.numpy as jnp
+
+    from focoos_tpu.models.fai_mf.config import MaskFormerConfig
+    from focoos_tpu.models.fai_mf.ports import MaskFormerModelOutput
+    from focoos_tpu.models.fai_mf.processor import MaskFormerProcessor
+    from focoos_tpu.ports import DatasetEntry
+
+    rng = np.random.default_rng(11)
+    b, q, c, h, w = 2, 6, 4, 16, 16
+    logits = rng.random((b, q, c), np.float32)
+    masks = rng.random((b, q, h, w), np.float32)
+    out = MaskFormerModelOutput(logits=jnp.asarray(logits), masks=jnp.asarray(masks), loss=None)
+    entries = [DatasetEntry(image=np.zeros((h, w, 3), np.uint8), height=h, width=w) for _ in range(b)]
+    cfg = MaskFormerConfig(num_classes=c, postprocessing_type="instance", top_k=5)
+    proc = MaskFormerProcessor(cfg)
+
+    monkeypatch.delenv("FOCOOS_INSTSEG_EVAL_HOST", raising=False)
+    dev = proc.eval_postprocess(out, entries)
+    monkeypatch.setenv("FOCOOS_INSTSEG_EVAL_HOST", "1")
+    host = proc.eval_postprocess(out, entries)
+
+    for d, hr in zip(dev, host):
+        di, hi = d["instances"], hr["instances"]
+        # same detections modulo top-k ordering: sort both by (score, label)
+        dord = np.lexsort((np.asarray(di.classes), -np.asarray(di.scores)))
+        hord = np.lexsort((np.asarray(hi.classes), -np.asarray(hi.scores)))
+        np.testing.assert_allclose(np.asarray(di.scores)[dord], np.asarray(hi.scores)[hord], rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(di.classes)[dord], np.asarray(hi.classes)[hord])
+        np.testing.assert_array_equal(
+            np.asarray(di.masks.tensor)[dord], np.asarray(hi.masks.tensor)[hord])
+        np.testing.assert_allclose(
+            np.asarray(di.boxes.tensor)[dord], np.asarray(hi.boxes.tensor)[hord], atol=1e-4)
+
+
+def test_mf_instance_eval_device_resizes_to_original(monkeypatch):
+    """Device path crops the padded region and nearest-resizes binary masks to
+    the original image size."""
+    import jax.numpy as jnp
+
+    from focoos_tpu.models.fai_mf.config import MaskFormerConfig
+    from focoos_tpu.models.fai_mf.ports import MaskFormerModelOutput
+    from focoos_tpu.models.fai_mf.processor import MaskFormerProcessor
+    from focoos_tpu.ports import DatasetEntry
+
+    rng = np.random.default_rng(3)
+    b, q, c, h, w = 1, 4, 3, 16, 16
+    out = MaskFormerModelOutput(
+        logits=jnp.asarray(rng.random((b, q, c), np.float32)),
+        masks=jnp.asarray(rng.random((b, q, h, w), np.float32)), loss=None)
+    # valid region 12x16 inside the padded 16x16; original image 24x32
+    entries = [DatasetEntry(image=np.zeros((12, 16, 3), np.uint8), height=24, width=32)]
+    proc = MaskFormerProcessor(MaskFormerConfig(num_classes=c, postprocessing_type="instance", top_k=4))
+    monkeypatch.delenv("FOCOOS_INSTSEG_EVAL_HOST", raising=False)
+    (res,) = proc.eval_postprocess(out, entries)
+    inst = res["instances"]
+    assert np.asarray(inst.masks.tensor).shape == (4, 24, 32)
+    assert inst.image_size == (24, 32)
