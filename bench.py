@@ -57,22 +57,27 @@ def make_chained_fwd(module, variables, iters, postproc=None):
         s = t[:, :1] if t.ndim >= 2 else t
         return jnp.sum(s.astype(jnp.float32))
 
-    def body(img, _):
-        out, _aux = module.apply(variables, img, train=False)
-        leaves = [postproc(out)] if postproc is not None else jax.tree.leaves(out)
-        sig = sum(sink(l) for l in leaves if hasattr(l, "ndim"))
-        bump = (sig * 1e-24).astype(img.dtype)
-        return img + bump, None
-
+    # variables enter as a jit ARGUMENT, not a closure: closed-over weights
+    # become embedded constants — 130 MB programs whose persistent-cache key
+    # changes with every reinit and whose hashing/serialization costs tens of
+    # seconds per shape (measured: 78 s/shape "warm")
     @jax.jit
-    def run(img):
+    def run_v(variables, img):
+        def body(img, _):
+            out, _aux = module.apply(variables, img, train=False)
+            leaves = [postproc(out)] if postproc is not None else jax.tree.leaves(out)
+            sig = sum(sink(l) for l in leaves if hasattr(l, "ndim"))
+            bump = (sig * 1e-24).astype(img.dtype)
+            return img + bump, None
+
         final, _ = jax.lax.scan(body, img, None, length=iters)
         return jnp.mean(final.astype(jnp.float32))
 
-    return run
+    return lambda img: run_v(variables, img)
 
 
-def bench_forward(name, size, batches, iters, dtype, postproc=None, overrides=None):
+def bench_forward(name, size, batches, iters, dtype, postproc=None, overrides=None,
+                  uint8_point=False):
     import jax.numpy as jnp
 
     from focoos_tpu.model_manager import ModelManager
@@ -90,6 +95,20 @@ def bench_forward(name, size, batches, iters, dtype, postproc=None, overrides=No
         out[f"b{bs}_ms"] = round(per_fwd * 1000, 3)
         out[f"b{bs}_ips"] = round(bs / per_fwd, 2)
         log(f"{name} @{size} b{bs}: {per_fwd * 1000:.2f} ms/fwd → {bs / per_fwd:.1f} img/s")
+        if uint8_point and bs == max(batches):
+            # serving-path input dtype (export serializes a uint8 entry,
+            # infer/export.py:72; reference engines take uint8 too,
+            # onnx.py:64): 4x smaller input read through the normalize chain
+            # — measured -2.3 ms on detr-l b16. Kept as a separate record so
+            # the f32 headline stays comparable across rounds.
+            xu = jnp.asarray((np.asarray(x)).astype(np.uint8))
+            try:
+                pf = _timed(make_chained_fwd(model.module, model.variables, iters, postproc), xu, iters)
+                out[f"b{bs}_ms_uint8"] = round(pf * 1000, 3)
+                out[f"b{bs}_ips_uint8"] = round(bs / pf, 2)
+                log(f"{name} @{size} b{bs} uint8: {pf * 1000:.2f} ms/fwd → {bs / pf:.1f} img/s")
+            except Exception as e:
+                log(f"{name} b{bs} uint8: {type(e).__name__}: {str(e)[:160]}")
     return out
 
 
@@ -134,7 +153,7 @@ def bench_train_step(iters):
     step = build_train_step(loss_fn, tx, donate=False)
 
     @jax.jit
-    def run(state):
+    def run_b(state, images, targets):
         def body(s, r):
             s2, m = step(s, (images, targets), r)
             return s2, m["total_loss"]
@@ -142,6 +161,9 @@ def bench_train_step(iters):
         rngs = jax.random.split(jax.random.PRNGKey(0), iters)
         s, losses = jax.lax.scan(body, state, rngs)
         return jnp.mean(losses)
+
+    def run(state):
+        return run_b(state, images, targets)
 
     float(run(state))
     ts = []
@@ -245,7 +267,8 @@ def main():
     # 1. detection — the headline (b16 is the measured throughput peak;
     # b4 dropped from the sweep: one fewer compile, and b1/b16 bracket it)
     def w_detr_l():
-        det = bench_forward("fai-detr-l-coco", 640, [1, 16] if on_tpu else [1], iters, dtype)
+        det = bench_forward("fai-detr-l-coco", 640, [1, 16] if on_tpu else [1], iters, dtype,
+                            uint8_point=on_tpu)
         headline["ips"] = max((v for k, v in det.items() if k.endswith("_ips")), default=0.0)
         headline["p50_b1"] = det.get("b1_ms")
         det["vs_baseline"] = round(headline["ips"] / BASELINE_FPS_DETR_L, 3)
