@@ -135,13 +135,24 @@ def _worker_loop(dataset, task_q, result_q, seed: int):
     """Worker-process body: map sampler indices through the dataset.
 
     Runs ``dataset[idx]`` (MapDataset applies the augmentation mapper) and
-    ships the mapped entry back. Never touches JAX — fork-safe."""
+    ships the mapped entry back. Never touches JAX — fork-safe.
+
+    Parent-death watchdog: daemon processes are reaped by multiprocessing's
+    atexit handler, which ``os._exit`` BYPASSES (and our CLI/smoke scripts
+    use os._exit to dodge prefetch-thread teardown hangs) — so workers poll
+    getppid() and exit when orphaned instead of leaking GBs forever."""
     np.random.seed(seed)  # distinct augmentation streams per worker
     import random as _random
 
     _random.seed(seed)
+    parent = os.getppid()
     while True:
-        item = task_q.get()
+        try:
+            item = task_q.get(timeout=5.0)
+        except queue.Empty:
+            if os.getppid() != parent:  # reparented: parent is gone
+                return
+            continue
         if item is None:
             return
         seq, idx = item

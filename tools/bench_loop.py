@@ -107,6 +107,7 @@ def bench_eval(res: int, n_images: int = 64, batch_size: int = 8):
     for tag, task, layout, maker, name, kwargs in (
         ("detection", Task.DETECTION, "roboflow_coco", make, "fai-detr-m-coco", {}),
         ("semseg", Task.SEMSEG, "roboflow_seg", make_semseg, "bisenetformer-s-ade", {}),
+        ("instseg", Task.INSTANCE_SEGMENTATION, "roboflow_coco", make, "fai-mf-s-coco-ins", {}),
     ):
         d = maker(os.path.join(tmp, tag), n_train=4, n_val=n_images, size=max(res, 320))
         auto = AutoDataset(d, task, layout)
