@@ -68,21 +68,39 @@ class _Tee:
 
     def write(self, data):
         self.stream.write(data)
-        self.fileobj.write(data)
+        try:
+            self.fileobj.write(data)
+        except ValueError:  # log file already closed by atexit at teardown
+            pass
 
     def flush(self):
         self.stream.flush()
-        self.fileobj.flush()
+        try:
+            self.fileobj.flush()
+        except ValueError:  # closed by atexit at teardown
+            pass
 
     def isatty(self):
         return getattr(self.stream, "isatty", lambda: False)()
 
 
 def capture_all_output(log_path: str) -> Optional[object]:
-    """Tee stdout+stderr into ``log_path`` (per-run log.txt)."""
+    """Tee stdout+stderr into ``log_path`` (per-run log.txt).
+
+    Also re-points ALREADY-CREATED logging StreamHandlers at the tee:
+    handlers hold a reference to the original sys.stderr from import time, so
+    without this every logger created before training starts would bypass
+    log.txt (observed: a run's log.txt containing only the late-created
+    evaluation logger's lines)."""
     os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
     f = open(log_path, "a", buffering=1, encoding="utf-8")
-    sys.stdout = _Tee(sys.stdout, f)
-    sys.stderr = _Tee(sys.stderr, f)
+    old_out, old_err = sys.stdout, sys.stderr
+    sys.stdout = _Tee(old_out, f)
+    sys.stderr = _Tee(old_err, f)
+    for name in list(logging.root.manager.loggerDict) + [None]:
+        lg = logging.getLogger(name) if name else logging.root
+        for h in getattr(lg, "handlers", []):
+            if isinstance(h, logging.StreamHandler) and getattr(h, "stream", None) in (old_out, old_err):
+                h.stream = sys.stderr if h.stream is old_err else sys.stdout
     atexit.register(f.close)
     return f
