@@ -29,6 +29,12 @@ class CatalogDataset:
 
 _CATALOG: Dict[str, CatalogDataset] = {}
 
+# reference-spelled names accepted as aliases (reference catalog.py:62,114)
+_ALIASES = {
+    "coco_2017_instance": "coco_2017_ins",
+    "coco_2017_person_keypoints": "coco_2017_kpts",
+}
+
 
 def register_catalog_dataset(name: str, task: Task, splits: Dict[DatasetSplitType, CatalogSplit]) -> None:
     _CATALOG[name] = CatalogDataset(name, task, splits)
@@ -39,6 +45,7 @@ def list_catalog() -> list:
 
 
 def load_catalog_split(name: str, split: DatasetSplitType) -> DictDataset:
+    name = _ALIASES.get(name, name)
     if name not in _CATALOG:
         raise KeyError(f"'{name}' not in catalog; available: {list_catalog()}")
     ds = _CATALOG[name]
@@ -189,6 +196,17 @@ register_catalog_dataset(
             "PascalVOC12", "", "", "train.json", "voc_semseg")),
         DatasetSplitType.VAL: CatalogSplit(_semseg_split(
             "PascalVOC12", "", "", "val.json", "voc_semseg")),
+    },
+)
+register_catalog_dataset(
+    "object365",
+    Task.DETECTION,
+    # reference: catalog.py:127-139 (roboflow-style COCO jsons per split)
+    {
+        DatasetSplitType.TRAIN: CatalogSplit(_coco_split(
+            "train/_annotations.coco.json", "train", Task.DETECTION, root_rel="object365")),
+        DatasetSplitType.VAL: CatalogSplit(_coco_split(
+            "val/_annotations.coco.json", "val", Task.DETECTION, root_rel="object365")),
     },
 )
 register_catalog_dataset(

@@ -8,9 +8,11 @@ XLA-fused conv+BN+act.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -54,6 +56,13 @@ class ResnetConfig(BackboneConfig):
     # floor-bounded by the lane-hostile C=3 input reads either way; see
     # docs/tpu_design.md "Phase-packed stem".
     stem_phase_pack: bool = False
+    # execute the stem 3x3 convs as block-banded matmuls over the flattened
+    # (W, C) lane axis (implicit im2col on the MXU, no input relayout) — see
+    # _BandedConv3x3 and docs/tpu_design.md "Banded stem". None = auto: ON
+    # for inference when tracing for TPU, OFF for training and other
+    # backends. Same parameters; matches the plain conv to accumulation-
+    # order rounding. Env override: FOCOOS_STEM_BANDED=0/1.
+    stem_banded: Optional[bool] = None
     # jax.checkpoint each residual block: activations are recomputed in the
     # backward pass instead of stored — trades ~30% extra FLOPs for a large
     # activation-memory cut, enabling bigger per-chip batches (HBM is the
@@ -140,13 +149,30 @@ class ResNet(BaseBackbone):
         norm = "FrozenBN" if cfg.freeze_norm else "BN"
         dtype = x.dtype
 
+        banded = cfg.stem_banded
+        if banded is None:
+            env = os.environ.get("FOCOOS_STEM_BANDED")
+            if env is not None:
+                banded = env not in ("0", "false", "")
+            else:
+                # auto: the banded stem is an inference-path win on TPU
+                # (docs/tpu_design.md "Banded stem"); training keeps the
+                # plain conv (backward through the band is unmeasured), and
+                # other backends keep XLA's native conv.
+                banded = (not train) and jax.default_backend() == "tpu"
+
         # stem: deep 3x3 stack for variants c/d, single 7x7 otherwise
         if cfg.variant in ("c", "d"):
             x = ConvNorm(32, 3, 2, act=cfg.act, norm=norm, s2d=cfg.space_to_depth,
                      phase_pack=cfg.stem_phase_pack and not cfg.space_to_depth,
+                     banded=banded and not (cfg.space_to_depth or cfg.stem_phase_pack),
                      dtype=dtype, name="conv1_1")(x, train)
-            x = ConvNorm(32, 3, 1, act=cfg.act, norm=norm, dtype=dtype, name="conv1_2")(x, train)
-            x = ConvNorm(64, 3, 1, act=cfg.act, norm=norm, dtype=dtype, name="conv1_3")(x, train)
+            # conv1_2/1_3 banding is a separate experiment knob: the C=32
+            # stride-1 windows materialize ~3x the activation in HBM (each
+            # kh row-set is its own im2col copy), so the win is not a given.
+            banded_all = banded and os.environ.get("FOCOOS_STEM_BANDED_ALL", "0") not in ("0", "false", "")
+            x = ConvNorm(32, 3, 1, act=cfg.act, norm=norm, banded=banded_all, dtype=dtype, name="conv1_2")(x, train)
+            x = ConvNorm(64, 3, 1, act=cfg.act, norm=norm, banded=banded_all, dtype=dtype, name="conv1_3")(x, train)
         else:
             x = ConvNorm(64, 7, 2, act=cfg.act, norm=norm, dtype=dtype, name="conv1_1")(x, train)
         # max_pool2d(3, 2, padding=1)

@@ -183,6 +183,10 @@ class ConvNorm(nn.Module):
     # (same params/paths, exact to fp rounding) — see _PhasePackConv3x3s2.
     # Falls back to the plain conv when H or W isn't divisible by 4.
     phase_pack: bool = False
+    # execute a 3x3 conv (stride 1 or 2) as a block-banded matmul over the
+    # flattened (W, C) lane axis — see _BandedConv3x3. The measured stem win
+    # on v5e (docs/tpu_design.md). Falls back when Wo has no {32,16,8} tile.
+    banded: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -202,6 +206,16 @@ class ConvNorm(nn.Module):
             x = _PhasePackConv3x3s2(self.ch_out, dtype=self.dtype, name="conv")(x)
         elif self.s2d and k == 3 and self.stride == 2 and not self.bias and self.groups == 1:
             x = _S2DConv3x3s2(self.ch_out, dtype=self.dtype, name="conv")(x)
+        elif (
+            self.banded
+            and k == 3
+            and self.stride in (1, 2)
+            and not self.bias
+            and self.groups == 1
+            and self.dilation == 1
+            and pad == 1
+        ):
+            x = _BandedConv3x3(self.ch_out, stride=self.stride, dtype=self.dtype, name="conv")(x)
         elif int8_qdq_enabled() and not train:
             x = _Int8QDQConv(
                 features=self.ch_out,
@@ -659,6 +673,92 @@ class _PhasePackConv3x3s2(nn.Module):
         ho, wo = h // 4, w // 4
         y = y.reshape(b, ho, wo, 2, 2, f).transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * ho, 2 * wo, f)
         return y
+
+
+def _banded_wtile(wo: int) -> int:
+    """Largest supported output-column tile that divides Wo (0 = can't tile)."""
+    for t in (32, 16, 8):
+        if wo % t == 0:
+            return t
+    return 0
+
+
+class _BandedConv3x3(nn.Module):
+    """conv 3x3 pad-1 (stride 1 or 2) as a block-banded matmul over the
+    flattened (W, C) lane axis — implicit im2col on the MXU.
+
+    The channel-starved stem conv (C_in=3) is floor-bounded by its
+    lane-hostile input read: NHWC with C=3 occupies 3 of 128 lanes per tile,
+    and every relayout-based fix (s2d, phase packing, XLA im2col, entry
+    layouts — docs/tpu_design.md stem entries) pays more in copies than the
+    better matmul shape saves. This formulation never relayouts the input:
+    viewed as [B, H, W*C] the image is lane-DENSE (W*C = 1920 at 640²), and
+    a 3x3 conv is, per kh tap row, a banded matrix product along that lane
+    axis. Tiling Wo into T-column groups turns each tile into a dense
+    [K, T*F] matmul with K = C*(s*T + 3 - s) window lanes, against a
+    block-Toeplitz weight matrix that carries kernel[kh] at lane offset
+    C*s*t' for output column t' — the MXU performs the im2col implicitly.
+    The band costs K/(9C) x the useful FLOPs (~7x at C=3, T=32) but that is
+    still only ~0.16 ms of MXU time for b16@640 vs ~1.9 ms for the
+    lane-starved conv + input relayout it replaces.
+
+    Parameter keeps the torch-compatible [3, 3, C, F] shape/name
+    (``kernel``) so checkpoints/converters are unaffected. Matches the plain
+    conv to accumulation-order rounding (f32-exact in tests).
+    """
+
+    features: int
+    stride: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        b, h, w, c = x.shape
+        f = self.features
+        s = self.stride
+        k = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, c, f))
+        kf = k.astype(x.dtype)
+        ho = (h - 1) // s + 1
+        wo = (w - 1) // s + 1
+        t = _banded_wtile(wo)
+        if t == 0 or (s == 2 and (h % 2 or w % 2)) or s not in (1, 2):
+            dn = jax.lax.conv_dimension_numbers(x.shape, kf.shape, ("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                x, kf, (s, s), ((1, 1), (1, 1)), dimension_numbers=dn
+            )
+        pad_b = 1 if s == 1 else 0
+        kk = c * (s * t + 3 - s)  # input lanes per output tile window
+        nt = wo // t
+        xv = x.reshape(b, h, w * c)
+        xp = jnp.pad(xv, ((0, 0), (1, pad_b), (c, pad_b * c)))
+        # windows: sall[b, i, wt, kh*kk + j] = xp[b, s*i + kh, c*s*t*wt + j]
+        parts = []
+        for kh in range(3):
+            r = jax.lax.slice_in_dim(xp, kh, kh + s * (ho - 1) + 1, stride=s, axis=1)
+            parts.append(
+                jnp.stack(
+                    [jax.lax.slice_in_dim(r, c * s * t * wt, c * s * t * wt + kk, axis=2) for wt in range(nt)],
+                    axis=2,
+                )
+            )
+        sall = jnp.concatenate(parts, axis=-1)  # [b, ho, nt, 3*kk]
+        # block-Toeplitz weights: output column t' reads taps (kw, cin) at
+        # window lane c*s*t' + c*kw + cin
+        k9 = kf.reshape(3, 3 * c, f)
+        bmat = jnp.concatenate(
+            [
+                jnp.stack(
+                    [jnp.pad(k9[kh], ((c * s * ti, kk - 3 * c - c * s * ti), (0, 0))) for ti in range(t)],
+                    axis=1,
+                )
+                for kh in range(3)
+            ],
+            axis=0,
+        ).reshape(3 * kk, t * f)
+        y = jnp.einsum("bhwk,kn->bhwn", sall, bmat, preferred_element_type=jnp.float32)
+        return y.astype(x.dtype).reshape(b, ho, wo, f)
 
 
 class _S2DConv3x3s2(nn.Module):

@@ -171,6 +171,55 @@ def test_phase_pack_stem_conv_matches_plain():
         assert float(jnp.abs(y_fast - y_ref).max()) < 5e-6
 
 
+def test_banded_conv_matches_plain():
+    """_BandedConv3x3 (block-banded matmul over the flattened (W,C) lane
+    axis — the measured v5e stem win) must equal the plain 3x3/p1 conv to fp
+    rounding at strides 1 and 2, and fall back exactly when Wo can't tile."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.nn.layers.common import _BandedConv3x3
+
+    rng = jax.random.PRNGKey(0)
+    for s, h, w, c, f in [(2, 64, 96, 3, 32), (1, 64, 64, 32, 32), (1, 40, 40, 16, 24), (2, 30, 30, 3, 8)]:
+        x = jax.random.normal(rng, (2, h, w, c), jnp.float32)
+        mod = _BandedConv3x3(f, stride=s)
+        vs = mod.init(rng, x)
+        y_fast = mod.apply(vs, x)
+        k = vs["params"]["kernel"]
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        y_ref = jax.lax.conv_general_dilated(x, k, (s, s), ((1, 1), (1, 1)), dimension_numbers=dn)
+        assert y_fast.shape == y_ref.shape
+        assert float(jnp.abs(y_fast - y_ref).max()) < 5e-6
+
+    # gradients flow through the banded path (slices/concat/dot are all
+    # differentiable — the auto heuristic only enables it at inference, but
+    # an explicit stem_banded=True must train correctly too)
+    x = jax.random.normal(rng, (1, 32, 32, 3), jnp.float32)
+    mod = _BandedConv3x3(8, stride=2)
+    vs = mod.init(rng, x)
+    g = jax.grad(lambda v: jnp.sum(mod.apply(v, x) ** 2))(vs)
+    assert float(jnp.abs(g["params"]["kernel"]).max()) > 0
+
+
+def test_resnet_stem_banded_exact():
+    """ResNet with stem_banded=True: same params, same outputs (fp rounding)
+    as the default stem — the checkpoint-compatibility contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.nn.backbone.resnet import ResNet, ResnetConfig
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+    m0 = ResNet(config=ResnetConfig(depth=18, stem_banded=False))
+    m1 = ResNet(config=ResnetConfig(depth=18, stem_banded=True))
+    v = m0.init(jax.random.PRNGKey(0), x)
+    y0 = m0.apply(v, x)
+    y1 = m1.apply(v, x)  # identical param tree by construction
+    for k in y0:
+        assert float(jnp.abs(y0[k] - y1[k]).max()) < 1e-4
+
+
 def test_masked_batchnorm_matches_subset_stats():
     """_MaskedBatchNorm (rtmo DCC): with a mask, train-mode statistics must
     equal plain BN statistics computed on ONLY the valid rows — the invariant
