@@ -12,12 +12,11 @@ import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from focoos_tpu.nn.backbone.base import BackboneConfig, BaseBackbone, ShapeSpec
-from focoos_tpu.nn.layers.common import ConvNorm, get_activation
+from focoos_tpu.nn.layers.common import ConvNorm, get_activation, stem_banded_auto
 
 RESNET_DEPTH_BLOCKS = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3], 50: [3, 4, 6, 3], 101: [3, 4, 23, 3]}
 
@@ -149,17 +148,7 @@ class ResNet(BaseBackbone):
         norm = "FrozenBN" if cfg.freeze_norm else "BN"
         dtype = x.dtype
 
-        banded = cfg.stem_banded
-        if banded is None:
-            env = os.environ.get("FOCOOS_STEM_BANDED")
-            if env is not None:
-                banded = env not in ("0", "false", "")
-            else:
-                # auto: the banded stem is an inference-path win on TPU
-                # (docs/tpu_design.md "Banded stem"); training keeps the
-                # plain conv (backward through the band is unmeasured), and
-                # other backends keep XLA's native conv.
-                banded = (not train) and jax.default_backend() == "tpu"
+        banded = stem_banded_auto(train, cfg.stem_banded)
 
         # stem: deep 3x3 stack for variants c/d, single 7x7 otherwise
         if cfg.variant in ("c", "d"):

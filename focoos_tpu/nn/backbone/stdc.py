@@ -14,7 +14,7 @@ from typing import Dict, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from focoos_tpu.nn.layers.common import bn_use_running
+from focoos_tpu.nn.layers.common import _BandedConv3x3, bn_use_running, stem_banded_auto
 from focoos_tpu.nn.backbone.base import BackboneConfig, BaseBackbone, ShapeSpec
 
 PRETRAINED_URLS = {
@@ -41,6 +41,10 @@ class STDCConfig(BackboneConfig):
     block_type: str = "cat"
     size: Optional[str] = None
     use_conv_last: bool = False
+    # banded matmul for the C=3 stem conv (features_0) — see
+    # _BandedConv3x3 / docs/tpu_design.md "Banded stem". None = auto (ON for
+    # TPU inference traces); env override FOCOOS_STEM_BANDED=0/1.
+    stem_banded: Optional[bool] = None
 
     def resolved(self) -> dict:
         if self.size is not None:
@@ -52,13 +56,19 @@ class ConvX(nn.Module):
     out_planes: int
     kernel: int = 3
     stride: int = 1
+    # route through _BandedConv3x3 (implicit im2col on the MXU — the
+    # lane-starved C=3 stem fix, docs/tpu_design.md "Banded stem")
+    banded: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         p = self.kernel // 2
-        x = nn.Conv(self.out_planes, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-                    padding=[(p, p), (p, p)], use_bias=False, dtype=self.dtype, name="conv")(x)
+        if self.banded and self.kernel == 3 and self.stride in (1, 2):
+            x = _BandedConv3x3(self.out_planes, stride=self.stride, dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.out_planes, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+                        padding=[(p, p), (p, p)], use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=bn_use_running(train), momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
@@ -164,7 +174,8 @@ class STDC(BaseBackbone):
         out_ids = (1, 3, 5, 7) if layers == [2, 2, 2] else (1, 5, 10, 13)
 
         feats = []
-        x = ConvX(base // 2, 3, 2, dtype=dtype, name="features_0")(x, train)
+        banded = stem_banded_auto(train, self.config.stem_banded)
+        x = ConvX(base // 2, 3, 2, banded=banded, dtype=dtype, name="features_0")(x, train)
         feats.append(x)
         x = ConvX(base, 3, 2, dtype=dtype, name="features_1")(x, train)
         feats.append(x)

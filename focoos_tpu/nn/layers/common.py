@@ -675,6 +675,25 @@ class _PhasePackConv3x3s2(nn.Module):
         return y
 
 
+def stem_banded_auto(train: bool, flag: Optional[bool] = None) -> bool:
+    """Resolve a backbone's stem-banding config (None = auto).
+
+    Auto policy: the banded stem (below) is a measured inference-path win on
+    TPU; training keeps the plain conv (banded backward unmeasured) and other
+    backends keep XLA's native conv. ``FOCOOS_STEM_BANDED=0/1`` overrides.
+    """
+    import os
+
+    if flag is not None:
+        return flag
+    env = os.environ.get("FOCOOS_STEM_BANDED")
+    if env is not None:
+        return env not in ("0", "false", "")
+    import jax
+
+    return (not train) and jax.default_backend() == "tpu"
+
+
 def _banded_wtile(wo: int) -> int:
     """Largest supported output-column tile that divides Wo (0 = can't tile)."""
     for t in (32, 16, 8):

@@ -220,6 +220,24 @@ def test_resnet_stem_banded_exact():
         assert float(jnp.abs(y0[k] - y1[k]).max()) < 1e-4
 
 
+def test_stdc_stem_banded_exact():
+    """STDC (fai-detr-m / bisenetformer backbone) with stem_banded=True:
+    same params, same outputs as the default stem."""
+    import jax
+    import jax.numpy as jnp
+
+    from focoos_tpu.nn.backbone.stdc import STDC, STDCConfig
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+    m0 = STDC(config=STDCConfig(size="nano", stem_banded=False))
+    m1 = STDC(config=STDCConfig(size="nano", stem_banded=True))
+    v = m0.init(jax.random.PRNGKey(0), x)
+    y0, _ = m0.apply(v, x, mutable=["batch_stats"])
+    y1, _ = m1.apply(v, x, mutable=["batch_stats"])
+    for k in y0:
+        assert float(jnp.abs(y0[k] - y1[k]).max()) < 1e-4
+
+
 def test_masked_batchnorm_matches_subset_stats():
     """_MaskedBatchNorm (rtmo DCC): with a mask, train-mode statistics must
     equal plain BN statistics computed on ONLY the valid rows — the invariant
