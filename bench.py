@@ -77,25 +77,43 @@ def make_chained_fwd(module, variables, iters, postproc=None):
 
 
 def bench_forward(name, size, batches, iters, dtype, postproc=None, overrides=None,
-                  uint8_point=False):
+                  uint8_point=False, remaining=None, cost=None):
+    """Forward sweep over ``batches`` (PEAK batch first — callers order it so:
+    under budget pressure the cross-round-comparable throughput number lands
+    before the budget escape below cuts the tail shapes)."""
     import jax.numpy as jnp
 
     from focoos_tpu.model_manager import ModelManager
 
     model = ModelManager.get(name, dtype=dtype, **(overrides or {}))
     out = {}
-    for bs in batches:
+    for i, bs in enumerate(batches):
+        # per-SHAPE budget escape: the first shape was approved by the
+        # workload gate; later shapes each re-check the remaining budget so a
+        # cold-compile day degrades to fewer shapes, not a dead workload
+        if remaining is not None and i > 0 and remaining() < cost["per_shape"] * 0.9:
+            out["skipped_shapes"] = f"b{batches[i:]}: {remaining():.0f}s left"
+            log(f"{name} SKIP b{batches[i:]}: budget")
+            break
         x = jnp.asarray(np.random.rand(bs, size, size, 3).astype(np.float32) * 255.0)
         run = make_chained_fwd(model.module, model.variables, iters, postproc)
+        t_shape = time.monotonic()
         try:
             per_fwd = _timed(run, x, iters)
         except Exception as e:
             log(f"{name} b{bs}: {type(e).__name__}: {str(e)[:160]}")
             continue
+        if cost is not None:
+            # adapt the per-shape cost to what THIS rig/day actually measures
+            # (warm persistent cache → ~10 s/shape; cold over the tunnel →
+            # ~60-115 s/shape); exponential blend keeps one outlier from
+            # whipsawing the gate
+            cost["per_shape"] = 0.5 * cost["per_shape"] + 0.5 * (time.monotonic() - t_shape)
         out[f"b{bs}_ms"] = round(per_fwd * 1000, 3)
         out[f"b{bs}_ips"] = round(bs / per_fwd, 2)
         log(f"{name} @{size} b{bs}: {per_fwd * 1000:.2f} ms/fwd → {bs / per_fwd:.1f} img/s")
-        if uint8_point and bs == max(batches):
+        if uint8_point and bs == max(batches) and (
+                remaining is None or remaining() > cost["per_shape"] * 0.9):
             # serving-path input dtype (export serializes a uint8 entry,
             # infer/export.py:72; reference engines take uint8 too,
             # onnx.py:64): 4x smaller input read through the normalize chain
@@ -264,19 +282,19 @@ def main():
             workloads[key]["wall_s"] = round(time.monotonic() - t0, 1)
         emit()
 
-    # 1. detection — the headline (b16 is the measured throughput peak;
-    # b4 dropped from the sweep: one fewer compile, and b1/b16 bracket it)
+    # 1. detection — the headline (b16 is the measured throughput peak and
+    # runs FIRST so it lands even on a cold-cache day; b4 dropped from the
+    # sweep: one fewer compile, and b1/b16 bracket it)
     def w_detr_l():
-        det = bench_forward("fai-detr-l-coco", 640, [1, 16] if on_tpu else [1], iters, dtype,
-                            uint8_point=on_tpu)
-        headline["ips"] = max((v for k, v in det.items() if k.endswith("_ips")), default=0.0)
+        det = bench_forward("fai-detr-l-coco", 640, [16, 1] if on_tpu else [1], iters, dtype,
+                            uint8_point=on_tpu, remaining=remaining, cost=cost)
+        headline["ips"] = max((v for k, v in det.items()
+                               if isinstance(v, (int, float)) and k.endswith("_ips")), default=0.0)
         headline["p50_b1"] = det.get("b1_ms")
         det["vs_baseline"] = round(headline["ips"] / BASELINE_FPS_DETR_L, 3)
         return det
 
     run_workload("detection_fai-detr-l", w_detr_l, 0)  # never skip the headline
-    n_headline_shapes = 2 if on_tpu else 1
-    cost["per_shape"] = max(10.0, workloads["detection_fai-detr-l"].get("wall_s", 80.0) / n_headline_shapes)
     log(f"calibrated cost: {cost['per_shape']:.0f}s per compiled shape")
 
     if on_tpu:
@@ -291,7 +309,8 @@ def main():
         # 1b. detr-m — the reference's fastest published detector (181 FPS T4,
         # docs/models/index.md:27)
         def w_detr_m():
-            detm = bench_forward("fai-detr-m-coco", 640, [1, 16], iters, dtype)
+            detm = bench_forward("fai-detr-m-coco", 640, [16, 1], iters, dtype,
+                                 remaining=remaining, cost=cost)
             mips = max((v for k, v in detm.items() if k.endswith("_ips")), default=0.0)
             detm["vs_baseline"] = round(mips / 181.0, 3)
             return detm
@@ -300,7 +319,8 @@ def main():
 
         # 2. classification @224 (b128 peak: 44k vs 25k img/s at b64)
         run_workload("classification_fai-cls-m",
-                     lambda: bench_forward("fai-cls-m-coco", 224, [1, 128], iters, dtype), 2)
+                     lambda: bench_forward("fai-cls-m-coco", 224, [128, 1], iters, dtype,
+                                   remaining=remaining, cost=cost), 2)
 
         # 3. semseg @640 with on-device per-pixel argmax
         # (model outputs are already softmaxed probs / sigmoided masks at eval)
@@ -311,7 +331,8 @@ def main():
 
         def w_bise():
             # b16 is the measured throughput peak (851 vs 760 img/s at b8)
-            sem = bench_forward("bisenetformer-l-ade", 640, [1, 16], iters, dtype, postproc=semseg_post)
+            sem = bench_forward("bisenetformer-l-ade", 640, [16, 1], iters, dtype,
+                                postproc=semseg_post, remaining=remaining, cost=cost)
             best = max((v for k, v in sem.items() if k.endswith("_ips")), default=0)
             sem["vs_baseline_mf_l_ade"] = round(best / BASELINE_FPS_MF_L_ADE, 3)
             return sem
@@ -328,8 +349,9 @@ def main():
 
         def w_ins():
             # b16 peak: 337 vs 315 img/s at b8
-            ins = bench_forward("fai-mf-l-coco-ins", 640, [1, 16], iters, dtype,
-                                postproc=inst_post, overrides={"image_size": 640})
+            ins = bench_forward("fai-mf-l-coco-ins", 640, [16, 1], iters, dtype,
+                                postproc=inst_post, overrides={"image_size": 640},
+                                remaining=remaining, cost=cost)
             best = max((v for k, v in ins.items() if k.endswith("_ips")), default=0)
             ins["vs_baseline"] = round(best / BASELINE_FPS_MF_L_INS, 3)
             return ins
@@ -340,7 +362,8 @@ def main():
         # published baseline: rtmo-s-coco 104 FPS T4-TRT (docs/models/index.md:50)
         def w_rtmo():
             # b16 peak: 799 vs 688 img/s at b8
-            kpt = bench_forward("rtmo-s-coco", 640, [1, 16], iters, dtype)
+            kpt = bench_forward("rtmo-s-coco", 640, [16, 1], iters, dtype,
+                                remaining=remaining, cost=cost)
             best = max((v for k, v in kpt.items() if k.endswith("_ips")), default=0)
             kpt["vs_baseline"] = round(best / 104.0, 3)
             return kpt
@@ -351,7 +374,8 @@ def main():
         # actually belongs to (VERDICT r2 missing #6). Last of the defaults:
         # semseg is already represented by bisenetformer above.
         def w_mf_ade():
-            mfs = bench_forward("fai-mf-l-ade", 640, [1, 16], iters, dtype, postproc=semseg_post)
+            mfs = bench_forward("fai-mf-l-ade", 640, [16, 1], iters, dtype,
+                                postproc=semseg_post, remaining=remaining, cost=cost)
             best = max((v for k, v in mfs.items() if k.endswith("_ips")), default=0)
             mfs["vs_baseline"] = round(best / BASELINE_FPS_MF_L_ADE, 3)
             return mfs

@@ -30,7 +30,14 @@ input perturbation moves torch's own backbone grads by rel 3e-2, see
 parity_loss.py:345). The gates below are calibrated against that floor, not
 against zero.
 
-Usage: python tools/parity_train.py [fai_detr|fai_mf|all] [--steps 50]
+Usage: python tools/parity_train.py [fai_detr|fai_mf|bisenetformer|fai_cls|all] [--steps 50]
+
+Families covered: fai_detr, fai_mf, bisenetformer (shared mask criterion,
+own dual-path forward), fai_cls. rtmo is EXCLUDED by measurement, not
+omission: its MLE loss composes train-mode BN forward noise through
+-log(prob+1e-4), which makes coupled trajectories incomparable across
+frameworks (see parity_loss.py — the rtmo criterion is verified in
+isolation at 1e-5 instead).
 """
 
 import argparse
@@ -115,22 +122,71 @@ def _train_loop_parity(family: str, steps: int) -> bool:
         def make_targets(r):
             return _ragged_targets_detr(r, b, 5, ncls)
 
+        torch_in = lambda img: torch.from_numpy(img.transpose(0, 3, 1, 2))  # noqa: E731
+        unpin = lambda: None  # noqa: E731
+    elif family == "fai_cls":
+        from focoos.models.fai_cls.config import ClassificationConfig as TC
+        from focoos.models.fai_cls.modelling import FAIClassification as TM
+        from focoos.models.fai_cls.ports import ClassificationTargets as TT
+
+        from focoos_tpu.models.fai_cls.config import ClassificationConfig as JC
+        from focoos_tpu.models.fai_cls.loss import make_loss_fn
+        from focoos_tpu.models.fai_cls.modelling import FAIClassification as JM
+        from focoos_tpu.models.fai_cls.ports import ClassificationTargets as JT
+
+        # dropout is stochastic in torch train mode — pinned off on both sides
+        # (same regime as parity_loss.loss_parity_fai_cls)
+        tcfg = TC(num_classes=ncls, backbone_config=make_torch_backbone_cfg("resnet"),
+                  dropout_rate=0.0)
+        tmodel = TM(tcfg).train()
+        bcfg, bmodule = make_jax_backbone("resnet")
+        cfg = JC(num_classes=ncls, backbone_config=bcfg, dropout_rate=0.0)
+        module = JM(config=cfg, backbone=bmodule)
+
+        def make_targets(r):
+            onehot = np.eye(ncls, dtype=np.float32)[r.integers(0, ncls, (b,))]
+            tt = [TT(labels=torch.from_numpy(onehot[i])) for i in range(b)]
+            return tt, JT(labels=jnp.asarray(onehot))
+
+        # the reference normalizes classification inputs in the PROCESSOR
+        # (models/fai_cls/processor.py), not the model; ours normalizes
+        # in-model — replicate the processor step before the torch call
+        _m = torch.tensor(tcfg.pixel_mean).view(1, -1, 1, 1)
+        _s = torch.tensor(tcfg.pixel_std).view(1, -1, 1, 1)
+        torch_in = lambda img: (torch.from_numpy(img.transpose(0, 3, 1, 2)) - _m) / _s  # noqa: E731
         unpin = lambda: None  # noqa: E731
     else:
-        import focoos.models.fai_mf.loss as tfl
-        from focoos.models.fai_mf.config import MaskFormerConfig as TC
-        from focoos.models.fai_mf.modelling import FAIMaskFormer as TM
-
+        # mask-criterion families: fai_mf and bisenetformer share our loss
+        # module (focoos_tpu/models/bisenetformer/loss.py re-exports fai_mf's)
+        # but the torch side has its OWN loss copy per family — pin both.
         import focoos_tpu.models.fai_mf.loss as jfl
-        from focoos_tpu.models.fai_mf.config import MaskFormerConfig as JC
-        from focoos_tpu.models.fai_mf.loss import make_loss_fn
-        from focoos_tpu.models.fai_mf.modelling import FAIMaskFormer as JM
 
         num_points = 16
         kw = dict(num_classes=ncls, num_queries=20, transformer_predictor_dec_layers=2,
                   pixel_decoder_feat_dim=64, pixel_decoder_out_dim=64,
                   transformer_predictor_hidden_dim=64, transformer_predictor_out_dim=64,
-                  criterion_num_points=num_points, pixel_decoder_transformer_layers=1)
+                  criterion_num_points=num_points)
+        if family == "fai_mf":
+            import focoos.models.fai_mf.loss as tfl
+            from focoos.models.fai_mf.config import MaskFormerConfig as TC
+            from focoos.models.fai_mf.modelling import FAIMaskFormer as TM
+
+            from focoos_tpu.models.fai_mf.config import MaskFormerConfig as JC
+            from focoos_tpu.models.fai_mf.loss import make_loss_fn
+            from focoos_tpu.models.fai_mf.modelling import FAIMaskFormer as JM
+
+            kw["pixel_decoder_transformer_layers"] = 1
+            mask_div = 4  # TransformerFPN mask features at H/4
+        else:
+            import focoos.models.bisenetformer.loss as tfl
+            from focoos.models.bisenetformer.config import BisenetFormerConfig as TC
+            from focoos.models.bisenetformer.modelling import BisenetFormer as TM
+
+            from focoos_tpu.models.bisenetformer.config import BisenetFormerConfig as JC
+            from focoos_tpu.models.bisenetformer.loss import make_loss_fn
+            from focoos_tpu.models.bisenetformer.modelling import BisenetFormer as JM
+
+            mask_div = 8  # bisenet head emits masks at H/8
         tcfg = TC(backbone_config=make_torch_backbone_cfg("resnet"), **kw)
         tmodel = TM(tcfg).train()
         bcfg, bmodule = make_jax_backbone("resnet")
@@ -138,7 +194,10 @@ def _train_loop_parity(family: str, steps: int) -> bool:
         cfg = module.config
 
         def make_targets(r):
-            return _block_mask_targets(r, b, 4, (res, res), (res // 4, res // 4), ncls)
+            return _block_mask_targets(r, b, 4, (res, res),
+                                       (res // mask_div, res // mask_div), ncls)
+
+        torch_in = lambda img: torch.from_numpy(img.transpose(0, 3, 1, 2))  # noqa: E731
 
         # pin BOTH frameworks' point sampling to one deterministic grid for
         # the whole run (same regime as parity_loss; rngs can't be aligned)
@@ -199,7 +258,7 @@ def _train_loop_parity(family: str, steps: int) -> bool:
             for it in range(steps):
                 img, tt, jt = batches[it % n_batches]
                 topt.zero_grad()
-                out_t = model(torch.from_numpy(img.transpose(0, 3, 1, 2)), tt)
+                out_t = model(torch_in(img), tt)
                 tloss = sum(out_t.loss.values())
                 tloss.backward()
                 if grad_noise > 0.0:
@@ -468,7 +527,8 @@ def main():
     _reference_compat.install()
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("what", nargs="?", default="all", choices=["fai_detr", "fai_mf", "all", "eval"])
+    ap.add_argument("what", nargs="?", default="all",
+                    choices=["fai_detr", "fai_mf", "bisenetformer", "fai_cls", "all", "eval"])
     ap.add_argument("--steps", type=int, default=50)
     ns = ap.parse_args()
 
@@ -477,6 +537,10 @@ def main():
         results["fai_detr loop"] = _train_loop_parity("fai_detr", ns.steps)
     if ns.what in ("fai_mf", "all"):
         results["fai_mf loop"] = _train_loop_parity("fai_mf", ns.steps)
+    if ns.what in ("bisenetformer", "all"):
+        results["bisenetformer loop"] = _train_loop_parity("bisenetformer", ns.steps)
+    if ns.what in ("fai_cls", "all"):
+        results["fai_cls loop"] = _train_loop_parity("fai_cls", ns.steps)
     if ns.what in ("eval", "all"):
         results["fai_detr evaluator delta"] = evaluator_delta_fai_detr(max(300, 2 * ns.steps))
 
