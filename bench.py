@@ -382,12 +382,14 @@ def main():
 
         run_workload("semseg_fai-mf-l-ade", w_mf_ade, 2)
 
-    if on_tpu and os.environ.get("FOCOOS_BENCH_LOOP"):
+    if on_tpu and os.environ.get("FOCOOS_BENCH_LOOP", "1") != "0":
         # 7. end-to-end train LOOP + eval img/s through the public API
-        # (tools/bench_loop.py). Opt-in: on remote-tunnel rigs these numbers
-        # measure the link's sustained MB/s, not the framework — the loop
-        # machinery itself steps at device speed (266 img/s fixed-batch;
-        # docs/tpu_design.md "Round 3: the train/eval LOOP").
+        # (tools/bench_loop.py), time-boxed subprocess, last in priority —
+        # the budget gate skips it on a cold-cache day. Caveat recorded with
+        # the number: on remote-tunnel rigs this measures the link's
+        # sustained MB/s, not the framework — the loop machinery itself
+        # steps at device speed (266 img/s fixed-batch; docs/tpu_design.md
+        # "Round 3: the train/eval LOOP").
         def w_loop():
             import subprocess
             import sys as _sys

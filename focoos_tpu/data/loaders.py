@@ -102,6 +102,8 @@ class _Prefetcher:
         buckets: List[list] = [[], []]
         with ThreadPoolExecutor(max_workers=self._workers) as pool:
             while True:
+                if getattr(self, "_closed", False):
+                    return
                 idxs = [next(self._sampler_iter) for _ in range(self._batch_size)]
                 entries = list(pool.map(self._dataset.__getitem__, idxs))
                 if not self._ar_grouping:
@@ -113,6 +115,16 @@ class _Prefetcher:
                     if len(b) == self._batch_size:
                         self._q.put(self._collate(b[:]))
                         b.clear()
+
+    def close(self):
+        """Stop the producer: set the flag, then drain the queue so a
+        producer blocked in q.put wakes up, sees the flag, and exits."""
+        self._closed = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         if not self._started:
@@ -192,7 +204,12 @@ class _ProcessPrefetcher:
         # in-flight bound: keeps ~4 batches of tasks queued without the feeder
         # racing ahead of consumption (memory bound on mapped entries)
         self._task_q = ctx.Queue(maxsize=4 * self._batch_size)
-        self._result_q = ctx.Queue()
+        # the result queue MUST be bounded too: with the batch queue full and
+        # an infinite sampler, an unbounded result queue lets the workers map
+        # forever after the consumer stops (training ended, eval phase began)
+        # — 100% of the host cores + unbounded RAM, measured as a 10-25x
+        # slowdown of the post-training eval in the same process
+        self._result_q = ctx.Queue(maxsize=4 * self._batch_size)
         for w in range(self._workers):
             p = ctx.Process(
                 target=_worker_loop,

@@ -401,6 +401,13 @@ class FocoosTrainer:
                 from focoos_tpu.nn.layers import common as _nn_common
 
                 _nn_common.FREEZE_ALL_BN = False
+            # stop the mapper workers NOW: the sampler is infinite, so without
+            # an explicit close the worker processes keep mapping (bounded by
+            # the queue caps, but still a burst of wasted host work) into the
+            # post-training phase — the final eval runs in this same process
+            close = getattr(loader, "close", None)
+            if close is not None:
+                close()
 
         # final artifacts (reference: trainer/trainer.py:360-416)
         final_state = jax.device_get(loop.state)

@@ -403,3 +403,68 @@ def test_process_prefetcher_surfaces_worker_failure():
     with pytest.raises(RuntimeError, match="boom at 3"):
         for _ in range(8):
             next(it)
+
+
+def test_process_prefetcher_bounded_when_consumer_stops(tmp_path):
+    """With an infinite sampler and a stopped consumer, mapper work must be
+    BOUNDED by the queue caps (task_q + result_q + batch queue) — an
+    unbounded result queue let the workers map forever after training ended,
+    starving the post-training eval running in the same process (measured
+    10-25x eval slowdown; fixed by capping result_q and closing the loader
+    in FocoosTrainer.train's finally)."""
+    import itertools
+    import time
+
+    from focoos_tpu.data.loaders import _ProcessPrefetcher
+
+    marker = tmp_path / "count"
+    marker.write_bytes(b"")
+
+    class Ds:
+        def __init__(self, path):
+            self._p = str(path)
+
+        def __getitem__(self, i):
+            with open(self._p, "ab") as f:
+                f.write(b"x")
+            return {"idx": i}
+
+    pp = _ProcessPrefetcher(Ds(marker), itertools.count(), batch_size=4, num_workers=2,
+                            collate=lambda e: e)
+    it = iter(pp)
+    next(it)  # start everything, consume one batch, then stop consuming
+    time.sleep(2.5)  # workers run ahead exactly as far as the caps allow
+    n1 = marker.stat().st_size
+    time.sleep(2.0)
+    n2 = marker.stat().st_size
+    # caps: task_q 4*bs=16 + result_q 4*bs=16 + batch q 4*bs=16 + in-flight
+    assert n2 <= 120, f"mapper ran unbounded after consumer stopped: {n2} items"
+    assert n2 - n1 <= 8, f"mapper still running {n2 - n1} items/2s after the burst"
+
+    procs = list(pp._procs)
+    pp.close()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and any(p.is_alive() for p in procs):
+        time.sleep(0.05)
+    assert all(not p.is_alive() for p in procs), "close() must terminate the workers"
+
+
+def test_thread_prefetcher_close_stops_producer(tmp_path):
+    import itertools
+    import time
+
+    from focoos_tpu.data.loaders import _Prefetcher
+
+    class Ds:
+        def __getitem__(self, i):
+            return {"idx": i}
+
+    p = _Prefetcher(Ds(), itertools.count(), batch_size=2, num_workers=2,
+                    collate=lambda e: e)
+    it = iter(p)
+    next(it)
+    p.close()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and any(t.is_alive() for t in p._threads):
+        time.sleep(0.05)
+    assert all(not t.is_alive() for t in p._threads), "close() must stop the producer thread"

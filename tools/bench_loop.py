@@ -92,7 +92,7 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int):
     return out
 
 
-def bench_eval(res: int, n_images: int = 64, batch_size: int = 8):
+def bench_eval(res: int, n_images: int = 64, batch_size: int = 8, on_row=None, out=None):
     from make_synthetic_dataset import make, make_semseg
 
     from focoos_tpu.data.auto_dataset import AutoDataset
@@ -101,7 +101,7 @@ def bench_eval(res: int, n_images: int = 64, batch_size: int = 8):
     from focoos_tpu.ports import DatasetSplitType, Task
     from focoos_tpu.trainer.evaluation import evaluate_dataset
 
-    out = {}
+    out = {} if out is None else out
     tmp = tempfile.mkdtemp(prefix="benchev_")
 
     for tag, task, layout, maker, name, kwargs in (
@@ -125,6 +125,8 @@ def bench_eval(res: int, n_images: int = 64, batch_size: int = 8):
         out[tag] = {"eval_ips": round(len(val_ds) / dt, 2), "n": len(val_ds),
                     "batch_size": batch_size, "res": res, "s": round(dt, 2)}
         print(f"eval {tag}:", json.dumps(out[tag]), file=sys.stderr, flush=True)
+        if on_row is not None:
+            on_row()
     return out
 
 
@@ -147,11 +149,17 @@ def main():
     res = arg("--res", 640)
     k = arg("--k", 1)
 
+    # incremental emission: one full-JSON stdout line after every row, so a
+    # caller that kills this subprocess at a deadline still parses the last
+    # line (same last-line-wins contract as bench.py)
     results = {}
     if which in ("train", "all"):
         results["train_loop"] = bench_train_loop(iters, bs, res, k)
+        print(json.dumps(results), flush=True)
     if which in ("eval", "all"):
-        results["eval"] = bench_eval(res)
+        results["eval"] = {}  # filled row-by-row (shared dict) so each emit sees it
+        bench_eval(res, out=results["eval"],
+                   on_row=lambda: print(json.dumps(results), flush=True))
     print(json.dumps(results))
     os._exit(0)
 
