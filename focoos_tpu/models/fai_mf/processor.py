@@ -85,7 +85,11 @@ def _device_instance_decode(logits, masks, top_k: int, mask_threshold: float):
     and BIT-PACKS the binary masks. Only (scores, labels, packed bits) leave
     the device: 1 bit/pixel instead of the bf16 [B, Q, H, W] stack — a 16-32x
     D2H reduction, which dominated instance-seg eval wall time.
-    Returns (scores [B,K], labels [B,K] int32, packed [B,K,ceil(HW/8)] uint8).
+    Returns (scores [B,K], labels [B,K] int32, packed [B,K,ceil(HW/8)] uint8,
+    boxes [B,K,4] f32 xyxy at input resolution — BitMasks.get_bounding_boxes
+    semantics: [xmin, ymin, xmax+1, ymax+1], zeros for empty masks; computing
+    them here removes the 0.27 s/img host `np.nonzero` loop that dominated
+    instance-seg eval).
     """
     import jax
 
@@ -106,7 +110,16 @@ def _device_instance_decode(logits, masks, top_k: int, mask_threshold: float):
             num = (small.reshape(b, k, -1) * mp.reshape(b, k, -1)).sum(-1)
             den = small.reshape(b, k, -1).sum(-1) + 1e-6
             packed = jnp.packbits(binm.reshape(b, k, -1), axis=-1)
-            return scores * (num / den), labels, packed
+            h, w = binm.shape[-2:]
+            any_y = jnp.any(binm, axis=3)  # [b,k,h]
+            any_x = jnp.any(binm, axis=2)  # [b,k,w]
+            x1 = jnp.argmax(any_x, axis=-1)
+            x2 = w - jnp.argmax(any_x[..., ::-1], axis=-1)  # last true + 1
+            y1 = jnp.argmax(any_y, axis=-1)
+            y2 = h - jnp.argmax(any_y[..., ::-1], axis=-1)
+            nonempty = jnp.any(any_x, axis=-1)
+            boxes = jnp.stack([x1, y1, x2, y2], -1).astype(jnp.float32) * nonempty[..., None]
+            return scores * (num / den), labels, packed, boxes
 
         _DEVICE_INST_DECODE[key] = jax.jit(fn)
     return _DEVICE_INST_DECODE[key](logits, masks)
@@ -296,18 +309,45 @@ class MaskFormerProcessor(Processor):
             from focoos_tpu.structures import BitMasks, Instances
 
             h_in, w_in = output.masks.shape[-2:]
-            scores_d, labels_d, packed_d = _device_instance_decode(
+            scores_d, labels_d, packed_dev, boxes_d = _device_instance_decode(
                 output.logits, output.masks, self.top_k, self.mask_threshold
             )
             scores_d = np.asarray(scores_d)
             labels_d = np.asarray(labels_d)
-            packed_d = np.asarray(packed_d)
+            boxes_d = np.asarray(boxes_d)
+
+            def _exact(entry):
+                size = entry.image.shape[:2] if entry.image is not None else (h_in, w_in)
+                hw = (entry.height or size[0], entry.width or size[1])
+                return (size[0], size[1]) == (h_in, w_in) == hw
+
+            if all(_exact(e) for e in batched_inputs) and not os.environ.get("FOCOOS_INSTSEG_EVAL_FETCH"):
+                # no crop/resize anywhere in the batch: the dt masks stay ON
+                # DEVICE as packed bits (5.1 MB/img never crosses D2H); the
+                # evaluator computes the dt×gt IoU matrix on device and
+                # fetches only [K, G] floats (ops/mask_iou.py). Device boxes
+                # carry the same get_bounding_boxes convention.
+                from focoos_tpu.structures import Boxes
+
+                results = []
+                for i, entry in enumerate(batched_inputs):
+                    inst = Instances(
+                        (h_in, w_in), boxes=Boxes(boxes_d[i]),
+                        scores=scores_d[i], classes=labels_d[i].astype(np.int64),
+                        masks_packed=packed_dev[i],
+                    )
+                    inst._masks_packed_hw = (h_in, w_in)
+                    results.append({"instances": inst})
+                return results
+
+            packed_d = np.asarray(packed_dev)
             results = []
             for i, entry in enumerate(batched_inputs):
                 size = entry.image.shape[:2] if entry.image is not None else (h_in, w_in)
                 height, width = entry.height or size[0], entry.width or size[1]
                 k = packed_d.shape[1]
                 binm = np.unpackbits(packed_d[i], axis=-1, count=h_in * w_in).reshape(k, h_in, w_in)
+                exact = (size[0], size[1]) == (h_in, w_in) == (height, width)
                 binm = binm[:, : size[0], : size[1]]
                 if (size[0], size[1]) != (height, width):
                     binm = np.stack([
@@ -315,8 +355,14 @@ class MaskFormerProcessor(Processor):
                     ]) if k else binm.reshape(0, height, width)
                 binm = binm.astype(bool)
                 bm = BitMasks(binm)
+                # device boxes are exact (same [xmin,ymin,xmax+1,ymax+1]
+                # convention) only when no crop/resize intervened; otherwise
+                # the host recomputes them from the transformed masks
+                from focoos_tpu.structures import Boxes
+
+                boxes = Boxes(boxes_d[i]) if exact else bm.get_bounding_boxes()
                 inst = Instances(
-                    (height, width), boxes=bm.get_bounding_boxes(), masks=bm,
+                    (height, width), boxes=boxes, masks=bm,
                     scores=scores_d[i], classes=labels_d[i].astype(np.int64),
                 )
                 results.append({"instances": inst})

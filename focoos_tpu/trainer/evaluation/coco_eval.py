@@ -108,7 +108,11 @@ class CocoStyleEvaluator:
         gt_masks: Optional[Sequence[np.ndarray]] = None,
         dt_kpts: Optional[np.ndarray] = None,
         gt_kpts: Optional[np.ndarray] = None,
+        iou_matrix: Optional[np.ndarray] = None,
     ) -> None:
+        """``iou_matrix``: optional precomputed full [n_dt, n_gt] IoU (the
+        on-device mask-IoU path, ops/mask_iou.py) — per-class submatrices are
+        sliced from it instead of recomputing from dense masks."""
         gt_crowd = gt_crowd if gt_crowd is not None else np.zeros(len(gt_classes), bool)
         for c in np.unique(np.concatenate([dt_classes, gt_classes])).astype(int):
             dsel = dt_classes == c
@@ -121,7 +125,9 @@ class CocoStyleEvaluator:
                 keep_local = np.argsort(-dt_scores[didx], kind="stable")[:MAX_DETS]
                 dsel = np.zeros_like(dsel)
                 dsel[didx[keep_local]] = True
-            if self.iou_fn == "bbox":
+            if iou_matrix is not None:
+                iou = np.asarray(iou_matrix, np.float64)[np.ix_(dsel, gsel)]
+            elif self.iou_fn == "bbox":
                 iou = bbox_iou_matrix(dt_boxes[dsel], gt_boxes[gsel], gt_crowd[gsel])
             elif self.iou_fn == "mask":
                 dm = [m for m, s in zip(dt_masks or [], dsel) if s]

@@ -142,12 +142,25 @@ class InstanceSegmentationEvaluator(DatasetEvaluator):
             dt_classes = np.asarray(inst.classes, np.int64)
             dt_scores = np.asarray(inst.scores, np.float64)
             dt_boxes = np.asarray(inst.boxes.tensor, np.float64)
-            dt_masks = [np.asarray(m) for m in inst.masks.tensor] if inst.has("masks") else []
             gm = [np.asarray(m) for m in gt_masks] if gt_masks is not None else []
-            self._coco.add_image(
-                dt_classes=dt_classes, dt_scores=dt_scores, dt_masks=dt_masks, dt_boxes=dt_boxes,
-                gt_classes=gt_classes, gt_areas=gt_areas, gt_masks=gm,
-            )
+            if inst.has("masks_packed"):
+                # on-device mask IoU: the dt masks never leave the device —
+                # only the [K, G] IoU matrix is fetched (ops/mask_iou.py)
+                from focoos_tpu.ops.mask_iou import device_mask_iou_packed
+
+                iou_full, _ = device_mask_iou_packed(
+                    inst.masks_packed, inst._masks_packed_hw, gm
+                )
+                self._coco.add_image(
+                    dt_classes=dt_classes, dt_scores=dt_scores, dt_boxes=dt_boxes,
+                    gt_classes=gt_classes, gt_areas=gt_areas, iou_matrix=iou_full,
+                )
+            else:
+                dt_masks = [np.asarray(m) for m in inst.masks.tensor] if inst.has("masks") else []
+                self._coco.add_image(
+                    dt_classes=dt_classes, dt_scores=dt_scores, dt_masks=dt_masks, dt_boxes=dt_boxes,
+                    gt_classes=gt_classes, gt_areas=gt_areas, gt_masks=gm,
+                )
             self._box.add_image(
                 dt_classes=dt_classes, dt_scores=dt_scores, dt_boxes=dt_boxes,
                 gt_classes=gt_classes, gt_boxes=np.asarray(gt_boxes, np.float64), gt_areas=gt_areas,

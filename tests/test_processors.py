@@ -166,10 +166,75 @@ def test_mf_instance_eval_device_matches_host(monkeypatch):
         hord = np.lexsort((np.asarray(hi.classes), -np.asarray(hi.scores)))
         np.testing.assert_allclose(np.asarray(di.scores)[dord], np.asarray(hi.scores)[hord], rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(di.classes)[dord], np.asarray(hi.classes)[hord])
-        np.testing.assert_array_equal(
-            np.asarray(di.masks.tensor)[dord], np.asarray(hi.masks.tensor)[hord])
+        # device path keeps masks packed on device (never fetched in prod;
+        # the evaluator consumes them via the on-device IoU, ops/mask_iou.py)
+        hh, ww = di._masks_packed_hw
+        dmasks = np.unpackbits(np.asarray(di.masks_packed), axis=-1,
+                               count=hh * ww).reshape(-1, hh, ww).astype(bool)
+        np.testing.assert_array_equal(dmasks[dord], np.asarray(hi.masks.tensor)[hord])
         np.testing.assert_allclose(
             np.asarray(di.boxes.tensor)[dord], np.asarray(hi.boxes.tensor)[hord], atol=1e-4)
+
+
+def test_device_mask_iou_matches_host():
+    """ops/mask_iou.py device IoU == native/numpy host mask IoU, exactly
+    (integer-valued f32 counts; crowd convention on the GT side)."""
+    from focoos_tpu.ops.mask_iou import device_mask_iou_packed
+    from focoos_tpu.utils.native import mask_iou
+
+    rng = np.random.default_rng(5)
+    k, g, h, w = 7, 3, 33, 41  # non-multiple-of-8 HW exercises bit padding
+    dt = rng.random((k, h, w)) > 0.6
+    gt = [rng.random((h, w)) > 0.5 for _ in range(g)]
+    crowd = np.array([0, 1, 0], np.uint8)
+    packed = np.packbits(dt.reshape(k, -1), axis=-1)
+    iou_dev, areas = device_mask_iou_packed(packed, (h, w), gt, gt_crowd=crowd)
+    iou_host = mask_iou(list(dt), gt, crowd_b=crowd)
+    np.testing.assert_allclose(iou_dev, iou_host, atol=1e-6)
+    np.testing.assert_array_equal(areas, dt.reshape(k, -1).sum(-1))
+    # empty-GT short circuit
+    iou0, areas0 = device_mask_iou_packed(packed, (h, w), [])
+    assert iou0.shape == (k, 0) and np.array_equal(areas0, areas)
+
+
+def test_instseg_evaluator_packed_path_matches_dense():
+    """End-to-end: InstanceSegmentationEvaluator fed packed device masks
+    (iou_matrix path) produces the same AP as the dense-mask path."""
+    import jax.numpy as jnp
+
+    from focoos_tpu.ports import DatasetEntry
+    from focoos_tpu.structures import BitMasks, Boxes, Instances
+    from focoos_tpu.trainer.evaluation.evaluators import InstanceSegmentationEvaluator
+
+    rng = np.random.default_rng(9)
+    h, w, k, g, ncls = 32, 32, 6, 3, 4
+    dt = rng.random((k, h, w)) > 0.55
+    gt = dt[:g].copy()  # overlapping GT so AP is non-trivial
+    gt[0, :4] ^= True
+    scores = np.sort(rng.random(k).astype(np.float32))[::-1].copy()
+    classes = rng.integers(0, ncls, k).astype(np.int64)
+    boxes = np.tile(np.array([0, 0, w, h], np.float32), (k, 1))
+
+    gt_inst = Instances((h, w), boxes=Boxes(np.tile(np.array([0, 0, w, h], np.float32), (g, 1))),
+                        classes=classes[:g].copy(), masks=BitMasks(gt))
+    entry = DatasetEntry(image=np.zeros((h, w, 3), np.uint8), height=h, width=w, instances=gt_inst)
+
+    dense = Instances((h, w), boxes=Boxes(boxes), scores=scores, classes=classes, masks=BitMasks(dt))
+    packed = Instances((h, w), boxes=Boxes(boxes), scores=scores, classes=classes,
+                       masks_packed=jnp.asarray(np.packbits(dt.reshape(k, -1), axis=-1)))
+    packed._masks_packed_hw = (h, w)
+
+    ev_dense = InstanceSegmentationEvaluator(num_classes=ncls)
+    ev_dense.process([entry], [{"instances": dense}])
+    ev_packed = InstanceSegmentationEvaluator(num_classes=ncls)
+    ev_packed.process([entry], [{"instances": packed}])
+    rd, rp = ev_dense.evaluate(), ev_packed.evaluate()
+    for key in ("segm", "bbox"):
+        for mk, mv in rd[key].items():
+            pv = rp[key][mk]
+            if np.isnan(mv) and np.isnan(pv):  # e.g. APl with no large GTs
+                continue
+            assert abs(pv - mv) < 1e-9, (key, mk, pv, mv)
 
 
 def test_mf_instance_eval_device_resizes_to_original(monkeypatch):
