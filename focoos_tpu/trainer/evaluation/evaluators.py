@@ -136,24 +136,36 @@ class InstanceSegmentationEvaluator(DatasetEvaluator):
         self._box = CocoStyleEvaluator(self.num_classes, "bbox", self.class_names)
 
     def process(self, inputs, outputs):
+        per_image = []
         for entry, out in zip(inputs, outputs):
             inst = out["instances"]
             gt_classes, gt_boxes, gt_areas, gt_masks, _ = _gt_from_entry(entry)
+            gm = [np.asarray(m) for m in gt_masks] if gt_masks is not None else []
+            per_image.append((inst, gt_classes, gt_areas, gm, gt_boxes))
+
+        # on-device mask IoU: the dt masks never leave the device — only the
+        # [K, G] IoU matrices are fetched, in ONE dispatch for the whole
+        # batch (per-image dispatches cost one tunnel RTT each)
+        packed = [(i, t) for i, t in enumerate(per_image) if t[0].has("masks_packed")]
+        ious = {}
+        if packed:
+            from focoos_tpu.ops.mask_iou import device_mask_iou_packed_batch
+
+            batch_ious = device_mask_iou_packed_batch(
+                [t[0].masks_packed for _, t in packed],
+                packed[0][1][0]._masks_packed_hw,
+                [t[3] for _, t in packed],
+            )
+            ious = {i: m for (i, _), m in zip(packed, batch_ious)}
+
+        for i, (inst, gt_classes, gt_areas, gm, gt_boxes) in enumerate(per_image):
             dt_classes = np.asarray(inst.classes, np.int64)
             dt_scores = np.asarray(inst.scores, np.float64)
             dt_boxes = np.asarray(inst.boxes.tensor, np.float64)
-            gm = [np.asarray(m) for m in gt_masks] if gt_masks is not None else []
-            if inst.has("masks_packed"):
-                # on-device mask IoU: the dt masks never leave the device —
-                # only the [K, G] IoU matrix is fetched (ops/mask_iou.py)
-                from focoos_tpu.ops.mask_iou import device_mask_iou_packed
-
-                iou_full, _ = device_mask_iou_packed(
-                    inst.masks_packed, inst._masks_packed_hw, gm
-                )
+            if i in ious:
                 self._coco.add_image(
                     dt_classes=dt_classes, dt_scores=dt_scores, dt_boxes=dt_boxes,
-                    gt_classes=gt_classes, gt_areas=gt_areas, iou_matrix=iou_full,
+                    gt_classes=gt_classes, gt_areas=gt_areas, iou_matrix=ious[i],
                 )
             else:
                 dt_masks = [np.asarray(m) for m in inst.masks.tensor] if inst.has("masks") else []
