@@ -197,6 +197,7 @@ class _ProcessPrefetcher:
         self._seed = seed
         self._start_method = start_method
         self._started = False
+        self._closed = False
         self._procs: List[mp.Process] = []
 
     def _start(self):
@@ -225,9 +226,17 @@ class _ProcessPrefetcher:
 
     def _feeder(self):
         seq = 0
-        while True:
+        while not self._closed:
             idx = next(self._sampler_iter)
-            self._task_q.put((seq, idx))  # blocks at the in-flight bound
+            while not self._closed:
+                try:
+                    # bounded put, re-checked so close() can stop the feed
+                    # (a plain blocking put would keep refilling the task
+                    # queue and starve the shutdown sentinels)
+                    self._task_q.put((seq, idx), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
             seq += 1
 
     def _producer(self):
@@ -257,11 +266,42 @@ class _ProcessPrefetcher:
                         batch.clear()
 
     def close(self):
+        """Graceful stop, then terminate stragglers.
+
+        Sentinels are offered first so a worker mid-``result_q.put`` finishes
+        its put (an immediate terminate() can leave a partial pickle in the
+        pipe); results are drained while waiting so blocked putters can
+        complete. Workers still alive after the grace window are terminated.
+
+        A closed prefetcher CANNOT be iterated again: the feeder/producer
+        daemon threads are left parked on the dead queues — build a new
+        loader for a new epoch/run instead.
+        """
+        import time as _time
+
+        self._closed = True
+        pending = len(self._procs)  # one sentinel per worker, delivered as room frees
+        deadline = _time.monotonic() + 2.0
         for p in self._procs:
-            p.terminate()
+            while p.is_alive() and _time.monotonic() < deadline:
+                if pending:
+                    try:
+                        self._task_q.put_nowait(None)
+                        pending -= 1
+                    except Exception:
+                        pass  # still full; drain below makes room
+                try:  # drain so a worker blocked mid-put can finish and exit
+                    self._result_q.get_nowait()
+                except queue.Empty:
+                    p.join(timeout=0.05)
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
         self._procs.clear()
 
     def __iter__(self):
+        if self._closed:
+            raise RuntimeError("prefetcher was closed; build a new loader")
         if not self._started:
             self._start()
         while True:

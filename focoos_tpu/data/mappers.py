@@ -71,7 +71,13 @@ class DetectionDatasetMapper(DatasetMapper):
         image = _read_image(record["file_name"])
         h0, w0 = image.shape[:2]
 
-        anns = [a for a in record.get("annotations", []) if not a.get("iscrowd", 0)]
+        # training drops crowd regions (reference detection_dataset_mapper.py
+        # filters iscrowd); eval keeps them, marked, so the COCO evaluator can
+        # apply the crowd-ignore convention (dts overlapping a crowd are
+        # neither TP nor FP) instead of counting them as plain FPs
+        anns = record.get("annotations", [])
+        if self.is_train:
+            anns = [a for a in anns if not a.get("iscrowd", 0)]
         boxes = np.array(
             [BoxMode.convert(np.asarray(a["bbox"], np.float64), BoxMode.XYWH_ABS, BoxMode.XYXY_ABS) for a in anns],
             np.float32,
@@ -88,6 +94,7 @@ class DetectionDatasetMapper(DatasetMapper):
         b.clip(hw)
         inst.boxes = b
         inst.classes = classes
+        inst.iscrowd = np.array([a.get("iscrowd", 0) for a in anns], np.int64)
 
         if self.use_masks and anns and anns[0].get("segmentation") is not None:
             masks = []
@@ -95,6 +102,12 @@ class DetectionDatasetMapper(DatasetMapper):
                 seg = a.get("segmentation")
                 if isinstance(seg, list):
                     m = polygons_to_bitmask([np.asarray(p) for p in seg], h0, w0)
+                elif isinstance(seg, dict):
+                    # COCO crowd regions ship as RLE (compressed string or
+                    # uncompressed counts list), not polygons
+                    from focoos_tpu.utils.native import coco_rle_decode
+
+                    m = coco_rle_decode(seg, h0, w0)
                 else:
                     m = np.asarray(seg, bool)
                 masks.append(tfm.apply_segmentation(m.astype(np.uint8)).astype(bool))

@@ -49,15 +49,27 @@ def _jitted(key, make):
     return _IOU_FNS[key]
 
 
-def _pack_gt(gt_lists, gpad: int, nbytes: int, gt_crowds=None):
+def _pack_gt(gt_lists, gpad: int, nbytes: int, hw: Tuple[int, int], gt_crowds=None):
     n = len(gt_lists)
+    n_pix = hw[0] * hw[1]
+    if (n_pix + 7) // 8 != nbytes:
+        raise ValueError(
+            f"dt packed width {nbytes} bytes does not match hw={hw} "
+            f"(expected ceil({n_pix}/8)={(n_pix + 7) // 8}) — dt and gt masks "
+            "must share one resolution for the IoU to be exact")
     gt = np.zeros((n, gpad, nbytes), np.uint8)
     crowd = np.zeros((n, gpad), np.float32)
     valid = np.zeros((n, gpad), np.float32)
     for i, gm in enumerate(gt_lists):
         if len(gm):
             stacked = np.stack([np.asarray(m, np.uint8).reshape(-1) for m in gm])
-            gt[i, : len(gm)] = np.packbits(stacked, axis=-1)[:, :nbytes]
+            if stacked.shape[-1] != n_pix:
+                # a silent [:, :nbytes] truncation here would yield plausible
+                # but WRONG IoU/AP on a resolution mismatch — fail loudly
+                raise ValueError(
+                    f"GT mask has {stacked.shape[-1]} pixels, expected {n_pix} "
+                    f"(hw={hw}); resize GT to the dt decode resolution first")
+            gt[i, : len(gm)] = np.packbits(stacked, axis=-1)
             valid[i, : len(gm)] = 1.0
             if gt_crowds is not None and gt_crowds[i] is not None:
                 crowd[i, : len(gm)] = np.asarray(gt_crowds[i], np.float32)
@@ -97,7 +109,7 @@ def device_mask_iou_packed_batch(dt_packed_list, hw: Tuple[int, int], gt_lists, 
     # pad the image axis to its own bucket too: a ragged last eval batch
     # must not trigger a fresh compile — dummy rows carry zero GT validity
     npad = _gpad_for(n)
-    gt, crowd, valid = _pack_gt(gt_lists + [[]] * (npad - n), gpad, nbytes,
+    gt, crowd, valid = _pack_gt(gt_lists + [[]] * (npad - n), gpad, nbytes, hw,
                                 (list(gt_crowds) + [None] * (npad - n)) if gt_crowds is not None else None)
     fn = _jitted(("batch", npad, k, nbytes, gpad), lambda: jax.jit(jax.vmap(_iou_core)))
     dt = jnp.stack([jnp.asarray(d) for d in dt_packed_list]
@@ -125,7 +137,7 @@ def device_mask_iou_packed(dt_packed, hw: Tuple[int, int], gt_masks, gt_crowd=No
         dt = np.unpackbits(np.asarray(dt_packed), axis=-1, count=hw[0] * hw[1])
         return np.zeros((k, 0), np.float32), dt.sum(-1).astype(np.float64)
     gpad = _gpad_for(g)
-    gt, crowd, valid = _pack_gt([gt_masks], gpad, nbytes, [gt_crowd] if gt_crowd is not None else None)
+    gt, crowd, valid = _pack_gt([gt_masks], gpad, nbytes, hw, [gt_crowd] if gt_crowd is not None else None)
     fn = _jitted((k, nbytes, gpad), lambda: jax.jit(_iou_core))
     iou, a_dt = fn(jnp.asarray(dt_packed), jnp.asarray(gt[0]), jnp.asarray(crowd[0]), jnp.asarray(valid[0]))
     return np.asarray(iou)[:, :g], np.asarray(a_dt, np.float64)

@@ -78,6 +78,7 @@ def _gt_from_entry(entry: DatasetEntry):
             np.zeros(0, np.float64),
             None,
             None,
+            np.zeros(0, bool),
         )
     boxes = inst.boxes.tensor
     classes = np.asarray(inst.classes, np.int64)
@@ -86,7 +87,12 @@ def _gt_from_entry(entry: DatasetEntry):
     kpts = np.asarray(inst.keypoints.tensor) if inst.has("keypoints") else (
         np.asarray(inst.get("keypoints")) if inst.has("keypoints") else None
     )
-    return classes, boxes, areas, masks, kpts
+    # eval-time mappers keep crowd regions marked (data/mappers.py); both IoU
+    # kernels implement the COCO crowd (IoA) convention, and the matcher
+    # treats crowd GTs as ignores — without this, dts overlapping crowds
+    # count as FPs and deflate AP vs pycocotools
+    crowd = (np.asarray(inst.iscrowd, np.int64) > 0) if inst.has("iscrowd") else np.zeros(len(inst), bool)
+    return classes, boxes, areas, masks, kpts, crowd
 
 
 class DetectionEvaluator(DatasetEvaluator):
@@ -103,7 +109,7 @@ class DetectionEvaluator(DatasetEvaluator):
     def process(self, inputs, outputs):
         for entry, out in zip(inputs, outputs):
             inst = out["instances"]
-            gt_classes, gt_boxes, gt_areas, _, _ = _gt_from_entry(entry)
+            gt_classes, gt_boxes, gt_areas, _, _, gt_crowd = _gt_from_entry(entry)
             self._coco.add_image(
                 dt_classes=np.asarray(inst.classes, np.int64),
                 dt_scores=np.asarray(inst.scores, np.float64),
@@ -111,6 +117,7 @@ class DetectionEvaluator(DatasetEvaluator):
                 gt_classes=gt_classes,
                 gt_boxes=np.asarray(gt_boxes, np.float64),
                 gt_areas=gt_areas,
+                gt_crowd=gt_crowd,
             )
 
     def evaluate(self):
@@ -139,9 +146,9 @@ class InstanceSegmentationEvaluator(DatasetEvaluator):
         per_image = []
         for entry, out in zip(inputs, outputs):
             inst = out["instances"]
-            gt_classes, gt_boxes, gt_areas, gt_masks, _ = _gt_from_entry(entry)
+            gt_classes, gt_boxes, gt_areas, gt_masks, _, gt_crowd = _gt_from_entry(entry)
             gm = [np.asarray(m) for m in gt_masks] if gt_masks is not None else []
-            per_image.append((inst, gt_classes, gt_areas, gm, gt_boxes))
+            per_image.append((inst, gt_classes, gt_areas, gm, gt_boxes, gt_crowd))
 
         # on-device mask IoU: the dt masks never leave the device — only the
         # [K, G] IoU matrices are fetched, in ONE dispatch for the whole
@@ -155,10 +162,11 @@ class InstanceSegmentationEvaluator(DatasetEvaluator):
                 [t[0].masks_packed for _, t in packed],
                 packed[0][1][0]._masks_packed_hw,
                 [t[3] for _, t in packed],
+                gt_crowds=[t[5] for _, t in packed],
             )
             ious = {i: m for (i, _), m in zip(packed, batch_ious)}
 
-        for i, (inst, gt_classes, gt_areas, gm, gt_boxes) in enumerate(per_image):
+        for i, (inst, gt_classes, gt_areas, gm, gt_boxes, gt_crowd) in enumerate(per_image):
             dt_classes = np.asarray(inst.classes, np.int64)
             dt_scores = np.asarray(inst.scores, np.float64)
             dt_boxes = np.asarray(inst.boxes.tensor, np.float64)
@@ -166,16 +174,18 @@ class InstanceSegmentationEvaluator(DatasetEvaluator):
                 self._coco.add_image(
                     dt_classes=dt_classes, dt_scores=dt_scores, dt_boxes=dt_boxes,
                     gt_classes=gt_classes, gt_areas=gt_areas, iou_matrix=ious[i],
+                    gt_crowd=gt_crowd,
                 )
             else:
                 dt_masks = [np.asarray(m) for m in inst.masks.tensor] if inst.has("masks") else []
                 self._coco.add_image(
                     dt_classes=dt_classes, dt_scores=dt_scores, dt_masks=dt_masks, dt_boxes=dt_boxes,
-                    gt_classes=gt_classes, gt_areas=gt_areas, gt_masks=gm,
+                    gt_classes=gt_classes, gt_areas=gt_areas, gt_masks=gm, gt_crowd=gt_crowd,
                 )
             self._box.add_image(
                 dt_classes=dt_classes, dt_scores=dt_scores, dt_boxes=dt_boxes,
                 gt_classes=gt_classes, gt_boxes=np.asarray(gt_boxes, np.float64), gt_areas=gt_areas,
+                gt_crowd=gt_crowd,
             )
 
     def evaluate(self):
@@ -203,7 +213,7 @@ class KeypointEvaluator(DatasetEvaluator):
     def process(self, inputs, outputs):
         for entry, out in zip(inputs, outputs):
             inst = out["instances"]
-            gt_classes, gt_boxes, gt_areas, _, gt_kpts = _gt_from_entry(entry)
+            gt_classes, gt_boxes, gt_areas, _, gt_kpts, gt_crowd = _gt_from_entry(entry)
             dt_kpts = np.asarray(inst.get("keypoints"), np.float64) if inst.has("keypoints") else np.zeros((0, 17, 3))
             if gt_kpts is None:
                 gt_kpts = np.zeros((len(gt_classes), dt_kpts.shape[1] if len(dt_kpts) else 17, 3))
@@ -215,6 +225,7 @@ class KeypointEvaluator(DatasetEvaluator):
                 gt_classes=np.zeros(len(gt_classes), np.int64),
                 gt_areas=gt_areas,
                 gt_kpts=np.asarray(gt_kpts, np.float64),
+                gt_crowd=gt_crowd,
             )
 
     def evaluate(self):

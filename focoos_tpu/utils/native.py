@@ -102,6 +102,65 @@ def rle_decode(counts: np.ndarray, h: int, w: int) -> np.ndarray:
     return flat.reshape(w, h).T.astype(bool)
 
 
+def rle_from_string(s) -> np.ndarray:
+    """COCO compressed-RLE string → column-major run counts (uint32).
+
+    Implements pycocotools' LEB128 variant (maskApi.c rleFrString): 5 data
+    bits per char offset by 48, bit 0x20 continues, bit 0x10 in the final
+    chunk sign-extends, and counts from index 3 on are deltas vs cnts[i-2].
+    Needed because crowd regions in COCO JSON ship as compressed RLE dicts
+    and pycocotools is not a dependency of this build.
+    """
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    cnts = []
+    i = 0
+    while i < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(cnts) > 2:
+            x += cnts[-2]
+        cnts.append(x)
+    return np.asarray(cnts, np.uint32)
+
+
+def rle_to_string(counts: np.ndarray) -> str:
+    """Inverse of :func:`rle_from_string` (maskApi.c rleToString)."""
+    out = []
+    counts = np.asarray(counts, np.int64)
+    for i, x in enumerate(counts.tolist()):
+        if i > 2:
+            x -= int(counts[i - 2])
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return "".join(out)
+
+
+def coco_rle_decode(seg: dict, h: int, w: int) -> np.ndarray:
+    """COCO ``segmentation`` RLE dict (compressed string or uncompressed
+    counts list) → bool [H, W] mask."""
+    size = seg.get("size")
+    if size is not None:
+        h, w = int(size[0]), int(size[1])
+    counts = seg["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = rle_from_string(counts)
+    return rle_decode(np.asarray(counts, np.uint32), h, w)
+
+
 def rle_area(counts: np.ndarray) -> int:
     counts = np.ascontiguousarray(counts, np.uint32)
     lib = _load()

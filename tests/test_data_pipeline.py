@@ -429,17 +429,27 @@ def test_process_prefetcher_bounded_when_consumer_stops(tmp_path):
                 f.write(b"x")
             return {"idx": i}
 
-    pp = _ProcessPrefetcher(Ds(marker), itertools.count(), batch_size=4, num_workers=2,
+    bs, nw = 4, 2
+    pp = _ProcessPrefetcher(Ds(marker), itertools.count(), batch_size=bs, num_workers=nw,
                             collate=lambda e: e)
     it = iter(pp)
     next(it)  # start everything, consume one batch, then stop consuming
-    time.sleep(2.5)  # workers run ahead exactly as far as the caps allow
-    n1 = marker.stat().st_size
-    time.sleep(2.0)
-    n2 = marker.stat().st_size
-    # caps: task_q 4*bs=16 + result_q 4*bs=16 + batch q 4*bs=16 + in-flight
-    assert n2 <= 120, f"mapper ran unbounded after consumer stopped: {n2} items"
-    assert n2 - n1 <= 8, f"mapper still running {n2 - n1} items/2s after the burst"
+    # poll until the mapped-item count plateaus (no growth across several
+    # consecutive windows) instead of fixed sleeps — on a loaded CI host the
+    # initial burst may be smeared over arbitrary wall time
+    last, stable = -1, 0
+    t_end = time.time() + 30.0
+    while time.time() < t_end and stable < 4:
+        time.sleep(0.5)
+        n = marker.stat().st_size
+        stable = stable + 1 if n == last else 0
+        last = n
+    assert stable >= 4, f"mapper never plateaued within 30s ({last} items) — unbounded"
+    # boundedness vs the computed caps (+ headroom): task_q 4*bs, result_q
+    # 4*bs, batch queue maxsize batches of bs, one in-flight item per worker,
+    # one consumed batch
+    cap = 4 * bs + 4 * bs + pp._q.maxsize * bs + nw + bs
+    assert last <= cap + 2 * bs, f"mapper ran past the queue caps: {last} > {cap} items"
 
     procs = list(pp._procs)
     pp.close()
@@ -468,3 +478,60 @@ def test_thread_prefetcher_close_stops_producer(tmp_path):
     while time.time() < deadline and any(t.is_alive() for t in p._threads):
         time.sleep(0.05)
     assert all(not t.is_alive() for t in p._threads), "close() must stop the producer thread"
+
+
+def test_mapper_crowd_handling(tmp_path):
+    """Train mappers DROP crowd annotations (reference
+    detection_dataset_mapper filters iscrowd); eval mappers KEEP them marked
+    via instances.iscrowd so the COCO evaluator can apply the crowd-ignore
+    convention. Crowd segmentations arrive as compressed-RLE dicts."""
+    import cv2
+
+    from focoos_tpu.data.mappers import InstanceDatasetMapper
+    from focoos_tpu.utils import native
+
+    h, w = 96, 128
+    img_path = str(tmp_path / "im.png")
+    cv2.imwrite(img_path, np.zeros((h, w, 3), np.uint8))
+
+    crowd_mask = np.zeros((h, w), bool)
+    crowd_mask[10:40, 20:70] = True
+    rle = {"size": [h, w], "counts": native.rle_to_string(native.rle_encode(crowd_mask))}
+    record = {
+        "file_name": img_path,
+        "height": h,
+        "width": w,
+        "image_id": 1,
+        "annotations": [
+            {"bbox": [5, 5, 30, 30], "category_id": 0, "iscrowd": 0,
+             "segmentation": [[5, 5, 35, 5, 35, 35, 5, 35]]},
+            {"bbox": [20, 10, 50, 30], "category_id": 0, "iscrowd": 1,
+             "segmentation": rle},
+        ],
+    }
+
+    train_entry = InstanceDatasetMapper([], is_train=True)(dict(record))
+    assert len(train_entry.instances) == 1
+    assert int(np.asarray(train_entry.instances.iscrowd).sum()) == 0
+
+    eval_entry = InstanceDatasetMapper([], is_train=False)(dict(record))
+    assert len(eval_entry.instances) == 2
+    np.testing.assert_array_equal(np.asarray(eval_entry.instances.iscrowd), [0, 1])
+    # the RLE-decoded crowd mask survived the (identity) transform pipeline
+    got = np.asarray(eval_entry.instances.masks.tensor[1])
+    np.testing.assert_array_equal(got, crowd_mask)
+
+
+def test_mask_iou_resolution_mismatch_fails_loudly():
+    """A GT mask at a different resolution than the packed dt masks must
+    raise, not silently truncate to a plausible-but-wrong IoU (ADVICE r4)."""
+    from focoos_tpu.ops.mask_iou import device_mask_iou_packed
+
+    rng = np.random.default_rng(0)
+    h, w = 16, 24
+    dt = rng.random((3, h, w)) > 0.5
+    packed = np.packbits(dt.reshape(3, -1), axis=-1)
+    with pytest.raises(ValueError, match="pixels"):
+        device_mask_iou_packed(packed, (h, w), [np.zeros((h, w * 2), bool)])
+    with pytest.raises(ValueError, match="packed width"):
+        device_mask_iou_packed(packed, (h * 2, w), [np.zeros((h * 2, w), bool)])

@@ -71,3 +71,25 @@ def test_native_rle_roundtrip():
     counts = native.rle_encode(m)
     assert (native.rle_decode(counts, 37, 53) == m).all()
     assert native.rle_area(counts) == int(m.sum())
+
+
+def test_coco_rle_string_codec():
+    """Compressed-RLE string codec vs the pycocotools wire format: the known
+    encoding of a tiny mask, round-trips, and dict decode (crowd regions in
+    COCO JSON ship as compressed RLE)."""
+    from focoos_tpu.utils import native
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 4), (37, 53), (64, 64)]:
+        m = rng.random(shape) > 0.6
+        counts = native.rle_encode(m)
+        s = native.rle_to_string(counts)
+        back = native.rle_from_string(s)
+        assert (back == counts).all(), shape
+        dec = native.coco_rle_decode({"size": list(shape), "counts": s}, *shape)
+        assert (dec == m).all(), shape
+    # uncompressed counts list path
+    m = np.zeros((3, 3), bool)
+    m[:, 1] = True  # column-major: 3 zeros, 3 ones, 3 zeros
+    dec = native.coco_rle_decode({"size": [3, 3], "counts": [3, 3, 3]}, 3, 3)
+    assert (dec == m).all()

@@ -142,6 +142,34 @@ def test_detection_evaluator_perfect_and_empty():
     assert res["AP50"] == pytest.approx(100.0)
 
 
+def test_detection_evaluator_crowd_gt_is_ignore_region():
+    """A det overlapping only a crowd GT must be IGNORED (COCO convention),
+    not counted as an FP — plumbing check for entry.instances.iscrowd →
+    add_image(gt_crowd=...) (ADVICE r4: crowds were dropped before the
+    evaluator, deflating AP on crowd-annotated datasets)."""
+    from focoos_tpu.structures import Boxes, Instances
+    from focoos_tpu.trainer.evaluation import DetectionEvaluator
+    from focoos_tpu.ports import DatasetEntry
+
+    gt_boxes = np.array([[10, 10, 50, 50], [60, 60, 120, 120]], np.float32)
+    gt = Instances((128, 128), boxes=Boxes(gt_boxes), classes=np.array([0, 0]),
+                   iscrowd=np.array([0, 1]))
+    # det 1 matches the real GT; det 2 sits inside the crowd region only and
+    # outscores it (so if counted as FP it caps precision at every recall)
+    dt_boxes = np.array([[10, 10, 50, 50], [70, 70, 110, 110]], np.float32)
+    pred = Instances((128, 128), boxes=Boxes(dt_boxes), classes=np.array([0, 0]),
+                     scores=np.array([0.9, 0.95]))
+    ev = DetectionEvaluator(class_names=["a"])
+    ev.process([DatasetEntry(instances=gt, height=128, width=128)], [{"instances": pred}])
+    assert ev.evaluate()["bbox"]["AP"] == pytest.approx(100.0)
+
+    # same scene with the crowd flag stripped: det 2 becomes a real FP
+    gt2 = Instances((128, 128), boxes=Boxes(gt_boxes[:1]), classes=np.array([0]))
+    ev2 = DetectionEvaluator(class_names=["a"])
+    ev2.process([DatasetEntry(instances=gt2, height=128, width=128)], [{"instances": pred}])
+    assert ev2.evaluate()["bbox"]["AP"] < 100.0
+
+
 def test_classification_evaluator():
     from focoos_tpu.trainer.evaluation import ClassificationEvaluator
     from focoos_tpu.ports import DatasetEntry

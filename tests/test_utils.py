@@ -176,3 +176,39 @@ def test_gradio_app_degrades_without_gradio(monkeypatch):
     with _pytest.raises((RuntimeError, ImportError)) as ei:
         gradio_app.launch("fai-cls-n-coco")
     assert "gradio" in str(ei.value).lower()
+
+
+def test_profiling_trace_parse_and_busy_union(tmp_path):
+    """parse_trace sums per-op device time (wrapper spans excluded);
+    parse_trace_busy_us merges nested/overlapping spans so a scan's `while`
+    wrapper is not double-counted (it was: device_op_ms read ~2x wall)."""
+    import gzip
+    import json
+
+    from focoos_tpu.utils.profiling import parse_trace, parse_trace_busy_us
+
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 1, "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 2, "args": {"name": "python host"}},
+        # wrapper span covering both fusions (a lax.scan 'while')
+        {"ph": "X", "pid": 1, "tid": 1, "name": "while", "ts": 0, "dur": 100},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.1", "ts": 0, "dur": 40,
+         "args": {"hlo_category": "convolution"}},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.2", "ts": 50, "dur": 50,
+         "args": {"hlo_category": "loop"}},
+        # host event must be ignored
+        {"ph": "X", "pid": 2, "tid": 1, "name": "hostwork", "ts": 0, "dur": 1000},
+        # wrapper spans excluded from the name sum
+        {"ph": "X", "pid": 1, "tid": 1, "name": "jit_fn", "ts": 0, "dur": 100},
+        {"ph": "X", "pid": 1, "tid": 1, "name": "7", "ts": 0, "dur": 100},
+    ]
+    d = tmp_path / "plugins" / "profile" / "x"
+    d.mkdir(parents=True)
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    dur, meta = parse_trace(str(tmp_path))
+    assert set(dur) == {"while", "fusion.1", "fusion.2"}
+    assert dur["fusion.1"] == 40 and meta["fusion.1"]["hlo_category"] == "convolution"
+    # busy union: [0,100] regardless of nesting/duplication (not 40+50+100...)
+    assert parse_trace_busy_us(str(tmp_path)) == 100.0

@@ -1,4 +1,4 @@
-"""End-to-end training-LOOP and eval throughput (VERDICT r2 #6).
+"""End-to-end training-LOOP and eval throughput (VERDICT r2 #6, r4 next #1).
 
 The per-step device time (bench.py train_step) excludes host work: the
 mapper/augmentation pipeline on this 1-core host, batch assembly, dispatch
@@ -7,7 +7,18 @@ through the public API on a synthetic COCO dataset and reports LOOP img/s
 (wall clock over N iterations) next to the device step img/s, plus
 ``inference_on_dataset`` eval img/s for detection and semseg.
 
-Usage: python tools/bench_loop.py [train|eval|all] [--iters N] [--bs N] [--res N] [--k N]
+Emission contract (the caller may kill this process at any moment):
+- a full JSON line is printed to stdout after EVERY completed row, last line
+  wins at the parser;
+- the train loop additionally emits a *running* loop_ips line every few
+  steady-state iterations, so even a kill mid-training leaves a measured
+  train row behind (r3 lost the loop to rc=124, r4 to the bench deadline —
+  both produced zero rows because emission only happened at the very end);
+- ``--budget S`` sets a soft deadline: rows that don't fit are skipped with
+  a note instead of being killed mid-compile.
+
+Usage: python tools/bench_loop.py [train|eval|all] [--iters N] [--bs N]
+                                  [--res N] [--k N] [--budget S]
 """
 
 import json
@@ -19,8 +30,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+T0 = time.monotonic()
 
-def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int):
+
+def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int, on_mark=None,
+                     out=None):
     from make_synthetic_dataset import make
 
     from focoos_tpu.data.auto_dataset import AutoDataset
@@ -38,7 +52,7 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int):
 
     model = ModelManager.get("fai-detr-m-coco", num_classes=train_ds.metadata.num_classes,
                              classes=train_ds.metadata.classes, image_size=res, dtype="bfloat16")
-    warm = 8  # first dispatches compile; exclude from the timed window
+    warm = 4  # first dispatches compile; exclude from the timed window
     args = TrainerArgs(
         run_name="benchloop", output_dir=tmp, max_iters=iters + warm, batch_size=bs,
         eval_period=0, log_period=10_000, checkpointer_period=10_000, early_stop=False,
@@ -50,10 +64,28 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int):
     from focoos_tpu.trainer import hooks as hooks_mod
 
     marks = []
+    out = {} if out is None else out  # shared with the caller's emit closure
+    out.update(steps_per_call=steps_per_call, batch_size=bs, res=res)
+
+    def steady_rate():
+        steady = [(it, t) for it, t in marks if it >= warm]
+        if len(steady) < 2:
+            return None
+        (it0, ts0), (it1, ts1) = steady[0], steady[-1]
+        loop_s = ts1 - ts0
+        return ((it1 - it0) * bs / loop_s, loop_s / (it1 - it0) * 1000, it1 - it0)
 
     class _Mark(hooks_mod.HookBase):
         def after_step(self):
             marks.append((self.trainer.iter, time.perf_counter()))
+            # running emission: a kill at any point past warm+2 still leaves
+            # a measured (if short-window) loop row on stdout
+            if on_mark is not None and len(marks) % 3 == 0:
+                r = steady_rate()
+                if r is not None:
+                    out.update(loop_ips=round(r[0], 2), loop_ms_per_iter=round(r[1], 2),
+                               iters_measured=r[2], partial=True)
+                    on_mark()
 
     import focoos_tpu.trainer.trainer as trainer_mod
 
@@ -71,28 +103,19 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int):
     finally:
         trainer_mod.FocoosTrainer._register_hooks = orig_build
 
-    # steady-state window: drop the compile-heavy prefix
-    steady = [(it, t) for it, t in marks if it >= warm]
-    if len(steady) >= 2:
-        (it0, ts0), (it1, ts1) = steady[0], steady[-1]
-        n_imgs = (it1 - it0) * bs
-        loop_s = ts1 - ts0
-        ips = n_imgs / loop_s
+    r = steady_rate()
+    if r is not None:
+        out.update(loop_ips=round(r[0], 2), loop_ms_per_iter=round(r[1], 2),
+                   iters_measured=r[2], wall_total_s=round(total, 1))
+        out.pop("partial", None)
     else:
-        ips, loop_s, n_imgs = 0.0, total, 0
-    out = {
-        "loop_ips": round(ips, 2),
-        "loop_ms_per_iter": round(loop_s / max(1, (steady[-1][0] - steady[0][0])) * 1000, 2) if len(steady) >= 2 else None,
-        "steps_per_call": steps_per_call,
-        "batch_size": bs,
-        "res": res,
-        "wall_total_s": round(total, 1),
-    }
+        out.update(loop_ips=0.0, loop_ms_per_iter=None, wall_total_s=round(total, 1))
     print("train_loop:", json.dumps(out), file=sys.stderr, flush=True)
     return out
 
 
-def bench_eval(res: int, n_images: int = 64, batch_size: int = 8, on_row=None, out=None):
+def bench_eval(res: int, n_images: int = 64, batch_size: int = 8, on_row=None, out=None,
+               remaining=None):
     from make_synthetic_dataset import make, make_semseg
 
     from focoos_tpu.data.auto_dataset import AutoDataset
@@ -103,12 +126,21 @@ def bench_eval(res: int, n_images: int = 64, batch_size: int = 8, on_row=None, o
 
     out = {} if out is None else out
     tmp = tempfile.mkdtemp(prefix="benchev_")
+    # budget gate: one eval row costs ~1 model compile (10s warm / 60-115s
+    # cold over the tunnel) + the measured loop; calibrated from the first row
+    row_cost = 75.0
 
     for tag, task, layout, maker, name, kwargs in (
         ("detection", Task.DETECTION, "roboflow_coco", make, "fai-detr-m-coco", {}),
         ("semseg", Task.SEMSEG, "roboflow_seg", make_semseg, "bisenetformer-s-ade", {}),
         ("instseg", Task.INSTANCE_SEGMENTATION, "roboflow_coco", make, "fai-mf-s-coco-ins", {}),
     ):
+        if remaining is not None and remaining() < row_cost * 0.8:
+            out[tag] = {"skipped": f"budget: {remaining():.0f}s left"}
+            if on_row is not None:
+                on_row()
+            continue
+        t_row = time.monotonic()
         d = maker(os.path.join(tmp, tag), n_train=4, n_val=n_images, size=max(res, 320))
         auto = AutoDataset(d, task, layout)
         _, va_augs = get_default_by_task(task, resolution=res)
@@ -124,6 +156,7 @@ def bench_eval(res: int, n_images: int = 64, batch_size: int = 8, on_row=None, o
         dt = time.perf_counter() - t0
         out[tag] = {"eval_ips": round(len(val_ds) / dt, 2), "n": len(val_ds),
                     "batch_size": batch_size, "res": res, "s": round(dt, 2)}
+        row_cost = 0.5 * row_cost + 0.5 * (time.monotonic() - t_row)
         print(f"eval {tag}:", json.dumps(out[tag]), file=sys.stderr, flush=True)
         if on_row is not None:
             on_row()
@@ -148,19 +181,28 @@ def main():
     bs = arg("--bs", 16)
     res = arg("--res", 640)
     k = arg("--k", 1)
+    budget = arg("--budget", 0)
 
-    # incremental emission: one full-JSON stdout line after every row, so a
-    # caller that kills this subprocess at a deadline still parses the last
-    # line (same last-line-wins contract as bench.py)
+    def remaining():
+        return (budget - (time.monotonic() - T0)) if budget > 0 else 1e9
+
+    # incremental emission: one full-JSON stdout line after every row (and a
+    # running line every few train iterations), so a caller that kills this
+    # subprocess at a deadline still parses the last line (same last-line-wins
+    # contract as bench.py)
     results = {}
-    if which in ("train", "all"):
-        results["train_loop"] = bench_train_loop(iters, bs, res, k)
+
+    def emit():
         print(json.dumps(results), flush=True)
+
+    if which in ("train", "all"):
+        results["train_loop"] = {}
+        bench_train_loop(iters, bs, res, k, on_mark=emit, out=results["train_loop"])
+        emit()
     if which in ("eval", "all"):
         results["eval"] = {}  # filled row-by-row (shared dict) so each emit sees it
-        bench_eval(res, out=results["eval"],
-                   on_row=lambda: print(json.dumps(results), flush=True))
-    print(json.dumps(results))
+        bench_eval(res, out=results["eval"], on_row=emit, remaining=remaining)
+    emit()
     os._exit(0)
 
 

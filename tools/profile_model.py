@@ -15,9 +15,6 @@ the fine-tune workload (reference hot loop: trainer/trainer.py:723).
 from __future__ import annotations
 
 import collections
-import glob
-import gzip
-import json
 import os
 import sys
 import tempfile
@@ -30,6 +27,8 @@ def profile_callable(run, label):
     time attribution."""
     import jax
 
+    from focoos_tpu.utils.profiling import parse_trace
+
     run()  # compile + warm
     trace_dir = tempfile.mkdtemp(prefix="focoos_prof_")
     n_calls = 3
@@ -37,31 +36,11 @@ def profile_callable(run, label):
         for _ in range(n_calls):
             run()
 
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
-    if not paths:
+    try:
+        dur, meta = parse_trace(trace_dir)
+    except FileNotFoundError:
         print("no trace produced", file=sys.stderr)
         return 1
-    with gzip.open(paths[0]) as f:
-        events = json.load(f).get("traceEvents", [])
-
-    # restrict to device-process events (host python frames also emit X events)
-    pids = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pids[e["pid"]] = e.get("args", {}).get("name", "")
-    dev_pids = {p for p, n in pids.items() if "TPU" in n or "GPU" in n or "device" in n.lower()}
-
-    dur = collections.Counter()
-    meta = {}
-    for e in events:
-        # skip whole-program wrapper spans: "jit_<fn>" and bare numeric
-        # launch ids ("0", "1", …) wrap every fusion and would double-count
-        nm = e.get("name", "")
-        if (e.get("ph") == "X" and e.get("dur") and e.get("pid") in dev_pids
-                and not nm.startswith("jit_") and not nm.isdigit()):
-            dur[e["name"]] += e["dur"]
-            if e.get("args") and e["name"] not in meta:
-                meta[e["name"]] = e["args"]
 
     total = sum(dur.values()) / n_calls / 1e3
     print(f"== {label}: {total:.2f} ms device-op time/call ==")
