@@ -71,9 +71,16 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int, on_mark
         steady = [(it, t) for it, t in marks if it >= warm]
         if len(steady) < 2:
             return None
-        (it0, ts0), (it1, ts1) = steady[0], steady[-1]
-        loop_s = ts1 - ts0
-        return ((it1 - it0) * bs / loop_s, loop_s / (it1 - it0) * 1000, it1 - it0)
+        # median per-iter delta, not endpoints: stragglers (a checkpoint save
+        # or late recompile inside one iteration) would otherwise drag the
+        # whole-window mean far below the actual steady rate (measured: 302
+        # ms/iter steady → 1366 ms/iter endpoint-mean with one slow tail iter)
+        import numpy as _np
+
+        deltas = [(t1 - t0) / max(1, i1 - i0)
+                  for (i0, t0), (i1, t1) in zip(steady, steady[1:])]
+        med = float(_np.median(deltas))
+        return (bs / med, med * 1000, steady[-1][0] - steady[0][0])
 
     class _Mark(hooks_mod.HookBase):
         def after_step(self):
@@ -186,6 +193,16 @@ def main():
     def remaining():
         return (budget - (time.monotonic() - T0)) if budget > 0 else 1e9
 
+    # adaptive sizing under a tight budget: the @640 trainer program costs
+    # ~3-4 min to compile+upload over the device tunnel even with a warm
+    # persistent cache (executable transfer dominates); a small-res row that
+    # LANDS beats a 640 row that dies mid-compile. The row self-describes
+    # (res/batch_size fields), so cross-round comparison stays honest.
+    n_images = 64
+    if 0 < budget < 240:
+        res, iters, n_images = min(res, 320), min(iters, 10), 24
+        print(f"budget {budget}s: shrunk to res={res} iters={iters}", file=sys.stderr, flush=True)
+
     # incremental emission: one full-JSON stdout line after every row (and a
     # running line every few train iterations), so a caller that kills this
     # subprocess at a deadline still parses the last line (same last-line-wins
@@ -201,7 +218,8 @@ def main():
         emit()
     if which in ("eval", "all"):
         results["eval"] = {}  # filled row-by-row (shared dict) so each emit sees it
-        bench_eval(res, out=results["eval"], on_row=emit, remaining=remaining)
+        bench_eval(res, n_images=n_images, out=results["eval"], on_row=emit,
+                   remaining=remaining)
     emit()
     os._exit(0)
 
