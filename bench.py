@@ -43,7 +43,7 @@ def _timed(run, x, iters, trials=3):
     return min(ts) / iters
 
 
-def make_chained_fwd(module, variables, iters, postproc=None):
+def make_chained_fwd(module, variables, iters, postproc=None, const=True):
     import jax
     import jax.numpy as jnp
 
@@ -57,12 +57,7 @@ def make_chained_fwd(module, variables, iters, postproc=None):
         s = t[:, :1] if t.ndim >= 2 else t
         return jnp.sum(s.astype(jnp.float32))
 
-    # variables enter as a jit ARGUMENT, not a closure: closed-over weights
-    # become embedded constants — 130 MB programs whose persistent-cache key
-    # changes with every reinit and whose hashing/serialization costs tens of
-    # seconds per shape (measured: 78 s/shape "warm")
-    @jax.jit
-    def run_v(variables, img):
+    def body_of(variables):
         def body(img, _):
             out, _aux = module.apply(variables, img, train=False)
             leaves = [postproc(out)] if postproc is not None else jax.tree.leaves(out)
@@ -70,7 +65,28 @@ def make_chained_fwd(module, variables, iters, postproc=None):
             bump = (sig * 1e-24).astype(img.dtype)
             return img + bump, None
 
-        final, _ = jax.lax.scan(body, img, None, length=iters)
+        return body
+
+    if const:
+        # weights CLOSED OVER, matching the production XLA engine
+        # (infer/runtimes.py XLARuntime const_weights=True — the TRT-engine
+        # analog): XLA constant-folds through the graph; measured -9.5%
+        # device time on detr-l b16, -19% on cls-m b128 vs weights-as-args
+        # (tools/ab_const_args.py). Cache keys stay stable because registry
+        # models init deterministically (PRNGKey(0), focoos_model.py:116).
+        cvars = jax.device_put(variables)
+
+        @jax.jit
+        def run_c(img):
+            final, _ = jax.lax.scan(body_of(cvars), img, None, length=iters)
+            return jnp.mean(final.astype(jnp.float32))
+
+        return run_c
+
+    # args mode: for weights that change per call (training-adjacent paths)
+    @jax.jit
+    def run_v(variables, img):
+        final, _ = jax.lax.scan(body_of(variables), img, None, length=iters)
         return jnp.mean(final.astype(jnp.float32))
 
     return lambda img: run_v(variables, img)
@@ -88,7 +104,10 @@ def bench_forward(name, size, batches, iters, dtype, postproc=None, overrides=No
     t_build = time.monotonic()
     model = ModelManager.get(name, dtype=dtype, **(overrides or {}))
     log(f"{name}: model built in {time.monotonic() - t_build:.0f}s")
-    out = {}
+    # r2 measured const-mode, r3/r4 args-mode (4aee6fa), r5+ const again —
+    # recorded so cross-round deltas are attributable (the mode is worth
+    # 9.5%/19% device time on detr-l/cls, tools/ab_const_args.py)
+    out = {"weights_mode": "const"}
     for i, bs in enumerate(batches):
         # per-SHAPE budget escape: the first shape was approved by the
         # workload gate; later shapes each re-check the remaining budget so a
