@@ -39,10 +39,14 @@ def export_model(
     from focoos_tpu.infer.infer_model import InferModel
 
     out_dir = out_dir or os.path.join(MODELS_DIR, model.name, "export")
-    if not overwrite and os.path.isfile(os.path.join(out_dir, ArtifactName.INFO.value)) and (
+    _artifact_ok = (
         runtime_type != RuntimeType.STABLEHLO
         or os.path.isfile(os.path.join(out_dir, ArtifactName.STABLEHLO.value))
-    ):
+    ) and (
+        runtime_type != RuntimeType.TF_SAVEDMODEL
+        or os.path.isdir(os.path.join(out_dir, ArtifactName.SAVEDMODEL.value))
+    )
+    if not overwrite and os.path.isfile(os.path.join(out_dir, ArtifactName.INFO.value)) and _artifact_ok:
         logger.info(f"Reusing existing export at {out_dir} (overwrite=False)")
         return InferModel(out_dir, runtime_type=runtime_type)
     os.makedirs(out_dir, exist_ok=True)
@@ -64,6 +68,39 @@ def export_model(
         path = os.path.join(out_dir, ArtifactName.WEIGHTS_INT8.value)
         _np.savez(path, **store)
         logger.info(f"Exported int8 weights to {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
+
+    if runtime_type == RuntimeType.TF_SAVEDMODEL:
+        # portable out-of-JAX artifact (the .onnx analog, reference
+        # focoos_model.py:501-515): jax2tf with native_serialization wraps the
+        # StableHLO program in a TF graph; the SavedModel serves under TF
+        # Serving / converts to TFLite / tf2onnx offline with no JAX runtime.
+        # Weights are baked as constants (same contract as the XLA engine's
+        # const_weights and the reference's ONNX export).
+        import jax
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        module = model.module
+        variables = jax.device_put(model.variables)
+        output_names = model.processor.get_output_names()
+
+        def forward(images):
+            out, _ = module.apply(variables, images, train=False)
+            return {n: getattr(out, n) for n in output_names}
+
+        tf_fn = tf.function(
+            jax2tf.convert(forward, native_serialization=True),
+            input_signature=[tf.TensorSpec((batch_size, *hw, 3), tf.uint8, name="images")],
+            autograph=False,
+        )
+        wrapper = tf.Module()
+        wrapper.serve = tf_fn
+        sm_dir = os.path.join(out_dir, ArtifactName.SAVEDMODEL.value)
+        tf.saved_model.save(
+            wrapper, sm_dir,
+            signatures={tf.saved_model.DEFAULT_SERVING_SIGNATURE_DEF_KEY: tf_fn},
+        )
+        logger.info(f"Exported TF SavedModel @{hw} to {sm_dir}")
 
     if runtime_type == RuntimeType.STABLEHLO:
         import jax

@@ -54,6 +54,15 @@ class InferModel:
                 runtime_type, artifact_path=artifact, output_names=output_names,
                 allow_resize_dispatch=self.processor.resize_dispatch_safe,
             )
+        elif runtime_type == RuntimeType.TF_SAVEDMODEL:
+            artifact = os.path.join(model_dir, ArtifactName.SAVEDMODEL.value)
+            if not os.path.isdir(artifact):
+                raise FileNotFoundError(
+                    f"{artifact} missing — export with RuntimeType.TF_SAVEDMODEL first"
+                )
+            self.runtime = load_runtime(
+                runtime_type, artifact_path=artifact, output_names=output_names,
+            )
         elif runtime_type == RuntimeType.XLA_TPU_INT8:
             artifact = os.path.join(model_dir, ArtifactName.WEIGHTS_INT8.value)
             if not os.path.isfile(artifact):

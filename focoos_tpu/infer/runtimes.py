@@ -310,6 +310,33 @@ class Int8XLARuntime(BaseRuntime):
         return fwd
 
 
+class TFSavedModelRuntime(BaseRuntime):
+    """Executes the jax2tf SavedModel artifact through pure TensorFlow — the
+    out-of-JAX serving check (what a TF Serving / TFLite / tf2onnx consumer
+    would load; reference analog: the ONNXRuntime session, infer/runtimes/
+    onnx.py). No JAX at inference time."""
+
+    def __init__(self, artifact_dir: str, output_names: List[str]):
+        import tensorflow as tf  # hard dep only for this runtime
+
+        self.output_names = output_names
+        self._loaded = tf.saved_model.load(artifact_dir)
+        self._serve = self._loaded.signatures["serving_default"]
+        spec = self._serve.structured_input_signature[1]["images"]
+        self._shape = tuple(int(d) for d in spec.shape)
+
+    def __call__(self, images: np.ndarray) -> List[np.ndarray]:
+        import tensorflow as tf
+
+        if tuple(images.shape) != self._shape:
+            raise ValueError(f"SavedModel serves fixed shape {self._shape}, got {images.shape}")
+        out = self._serve(images=tf.constant(images.astype(np.uint8)))
+        return [np.asarray(out[name]) for name in self.output_names]
+
+    def _traced_forward(self):  # pragma: no cover - bench path needs JAX
+        raise NotImplementedError("TF SavedModel runtime is not jit-traceable")
+
+
 class StableHLORuntime(BaseRuntime):
     """Executes serialized jax.export artifacts (the exchange format —
     analog of a .onnx file; reference ExportFormat.ONNX).
@@ -450,4 +477,13 @@ def load_runtime(
     if runtime_type == RuntimeType.STABLEHLO:
         assert artifact_path is not None
         return StableHLORuntime(artifact_path, output_names, allow_resize_dispatch=allow_resize_dispatch)
+    if runtime_type == RuntimeType.TF_SAVEDMODEL:
+        assert artifact_path is not None
+        try:
+            import tensorflow  # noqa: F401
+        except ImportError as e:  # optional-dep guard (reference load_runtime.py:25-80)
+            raise ImportError(
+                "RuntimeType.TF_SAVEDMODEL requires tensorflow; install it or "
+                "serve via XLA_* / STABLEHLO runtimes") from e
+        return TFSavedModelRuntime(artifact_path, output_names)
     raise ValueError(f"Unsupported runtime type: {runtime_type}")

@@ -88,6 +88,7 @@ class ExportFormat(str, Enum):
     """
 
     STABLEHLO = "stablehlo"
+    SAVEDMODEL = "savedmodel"
     PARAMS = "params"
 
 
@@ -105,6 +106,9 @@ class RuntimeType(str, Enum):
       jitted forward (the analog of the ONNX INT8 runtime — halves weight
       memory; XLA fuses the dequant into consumers).
     - ``STABLEHLO``: load a serialized `jax.export` artifact and execute it.
+    - ``TF_SAVEDMODEL``: a TensorFlow SavedModel built via jax2tf — the
+      portable out-of-JAX artifact (TF Serving / TFLite / offline tf2onnx;
+      the .onnx analog for consumers that cannot run JAX).
     """
 
     XLA_TPU_BF16 = "xla_tpu_bf16"
@@ -112,6 +116,7 @@ class RuntimeType(str, Enum):
     XLA_CPU = "xla_cpu"
     XLA_TPU_INT8 = "xla_tpu_int8"
     STABLEHLO = "stablehlo"
+    TF_SAVEDMODEL = "tf_savedmodel"
 
     def __str__(self) -> str:  # pragma: no cover - trivial
         return self.value
@@ -119,6 +124,8 @@ class RuntimeType(str, Enum):
     def to_export_format(self) -> ExportFormat:
         if self == RuntimeType.STABLEHLO:
             return ExportFormat.STABLEHLO
+        if self == RuntimeType.TF_SAVEDMODEL:
+            return ExportFormat.SAVEDMODEL
         return ExportFormat.PARAMS
 
 
@@ -126,12 +133,15 @@ class ModelExtension(str, Enum):
     """Artifact file extensions (focoos/ports.py:631)."""
 
     STABLEHLO = "stablehlo"
+    SAVEDMODEL = "pb"  # SavedModel dir marker file (saved_model.pb)
     WEIGHTS = "npz"
 
     @classmethod
     def from_runtime_type(cls, runtime_type: RuntimeType) -> "ModelExtension":
         if runtime_type == RuntimeType.STABLEHLO:
             return cls.STABLEHLO
+        if runtime_type == RuntimeType.TF_SAVEDMODEL:
+            return cls.SAVEDMODEL
         return cls.WEIGHTS
 
 
@@ -141,6 +151,7 @@ class ArtifactName(str, Enum):
     WEIGHTS = "model_final.npz"
     WEIGHTS_INT8 = "model_int8.npz"
     STABLEHLO = "model.stablehlo"
+    SAVEDMODEL = "saved_model"  # TF SavedModel directory (portable serving)
     INFO = "model_info.json"
     METRICS = "metrics.json"
     LOGS = "log.txt"

@@ -40,6 +40,32 @@ def test_export_stablehlo_roundtrip(tiny_model, tmp_path_factory):
     assert len(res.detections) > 0
 
 
+def test_export_tf_savedmodel_roundtrip(tiny_model, tmp_path_factory):
+    """Portable out-of-JAX artifact (VERDICT r4 next #8): jax2tf SavedModel
+    loads through pure TF and matches the XLA engine at 1e-3."""
+    tf = pytest.importorskip("tensorflow")  # noqa: F841
+
+    from focoos_tpu.infer.infer_model import InferModel
+    from focoos_tpu.infer.runtimes import XLARuntime
+
+    out = str(tmp_path_factory.mktemp("sm"))
+    tiny_model.export(RuntimeType.TF_SAVEDMODEL, out_dir=out, image_size=96)
+    assert os.path.isdir(os.path.join(out, "saved_model"))
+
+    infer_model = InferModel(out, runtime_type=RuntimeType.TF_SAVEDMODEL)
+    x = np.random.randint(0, 255, (1, 96, 96, 3), np.uint8)
+    tf_out = infer_model.runtime(x)
+    names = tiny_model.processor.get_output_names()
+    rt = XLARuntime(tiny_model.module, tiny_model.variables, names)
+    xla_out = rt(x.astype(np.float32))
+    for name, a, b in zip(names, tf_out, xla_out):
+        assert np.max(np.abs(a.astype(np.float64) - b.astype(np.float64))) < 1e-3, name
+
+    img = np.random.randint(0, 255, (120, 96, 3), np.uint8)
+    res = infer_model.infer(img, threshold=0.0)
+    assert len(res.detections) > 0
+
+
 def test_stablehlo_missing_artifact_raises(tiny_model, tmp_path_factory):
     from focoos_tpu.infer.infer_model import InferModel
 
