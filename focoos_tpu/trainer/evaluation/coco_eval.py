@@ -241,7 +241,10 @@ class CocoStyleEvaluator:
                 ap_all_cls[area_name].append(float(aps.mean()))
 
         def mean_or_nan(vals):
-            return float(np.mean(vals)) * 100 if vals else float("nan")
+            # pycocotools reports -1 when an (area, category) slice has no
+            # GTs (COCOeval.summarize) — and NaN is not valid strict JSON,
+            # which breaks downstream metric-line parsers
+            return float(np.mean(vals)) * 100 if vals else -1.0
 
         # Bare keys: callers namespace the dict under "bbox"/"segm"/"keypoints",
         # so these flatten to e.g. "bbox/AP" in the event storage — the exact

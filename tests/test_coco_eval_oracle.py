@@ -150,7 +150,8 @@ def oracle_coco_ap(images, num_classes):
     def _summ(t=None, ai=0):
         s = precision[:, :, :, ai] if t is None else precision[t : t + 1, :, :, ai]
         s = s[s > -1]
-        return float(np.mean(s)) * 100 if s.size else float("nan")
+        # pycocotools _summarize: mean_s = -1 when the slice has no GTs
+        return float(np.mean(s)) * 100 if s.size else -1.0
 
     return {
         "AP": _summ(),
