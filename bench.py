@@ -333,7 +333,11 @@ def main():
     # runs FIRST so it lands even on a cold-cache day; b4 dropped from the
     # sweep: one fewer compile, and b1/b16 bracket it)
     def w_detr_l():
-        det = bench_forward("fai-detr-l-coco", 640, [16, 1] if on_tpu else [1], iters, dtype,
+        # b16 ONLY here: the b1 (p50) point moved to its own later workload —
+        # on a cold-cache day its ~150 s compile starved the train-step and
+        # loop rows (measured: one 520 s run spent 380 s on detr-l alone and
+        # skipped everything else)
+        det = bench_forward("fai-detr-l-coco", 640, [16] if on_tpu else [1], iters, dtype,
                             uint8_point=on_tpu, remaining=remaining, cost=cost, devms=on_tpu)
         headline["ips"] = max((v for k, v in det.items()
                                if isinstance(v, (int, float)) and k.endswith("_ips")), default=0.0)
@@ -380,10 +384,17 @@ def main():
                 # row when its budget is < 240s.
                 slice_s = max(100, remaining() - 40)
             slice_s = min(480, slice_s)
-            log(f"loop slice: {slice_s:.0f}s (reserve {reserve:.0f}s for tail)")
+            # the @640 loop needs ~400 s even with a warm compile cache (the
+            # trainer executable upload over the tunnel dominates, measured
+            # 270 s train-only) — it never fits a driver-day slice after the
+            # headline + train step. 320 is the slice-sized configuration;
+            # the row self-describes (res/batch_size fields) and the @640
+            # numbers live in docs/tpu_design.md from direct tool runs.
+            res = "640" if slice_s >= 450 else "320"
+            log(f"loop slice: {slice_s:.0f}s @res {res} (reserve {reserve:.0f}s for tail)")
             cmd = [_sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                                  "tools", "bench_loop.py"),
-                   "all", "--iters", "16", "--bs", "16", "--res", "640",
+                   "all", "--iters", "16", "--bs", "16", "--res", res,
                    "--budget", str(int(slice_s - 10))]
             try:
                 r = subprocess.run(cmd, capture_output=True, text=True,
@@ -405,7 +416,10 @@ def main():
             return out
 
         if os.environ.get("FOCOOS_BENCH_LOOP", "1") != "0":
-            run_workload("loop_end_to_end", w_loop, 2)
+            # n_shapes=0: NEVER budget-skipped — bench_loop shrinks itself
+            # (res 320, fewer iters) when its slice is tight, and the in-train
+            # running emission lands a measured row even under a deadline kill
+            run_workload("loop_end_to_end", w_loop, 0)
 
         # 1b. detr-m — the reference's fastest published detector (181 FPS T4,
         # docs/models/index.md:27)
@@ -417,6 +431,18 @@ def main():
             return detm
 
         run_workload("detection_fai-detr-m", w_detr_m, 2)
+
+        # 1c. detr-l single-image p50 — demoted below train/loop/detr-m so a
+        # cold-compile day spends its budget on distinct workload classes
+        # first (the in-process jit cache keeps the rebuild cheap on warm days)
+        def w_detr_l_b1():
+            d1 = bench_forward("fai-detr-l-coco", 640, [1], iters, dtype,
+                               remaining=remaining, cost=cost)
+            if "b1_ms" in d1:
+                headline["p50_b1"] = d1["b1_ms"]
+            return d1
+
+        run_workload("detection_fai-detr-l_b1", w_detr_l_b1, 1)
 
         # 2. classification @224 (b128 peak: 44k vs 25k img/s at b64)
         run_workload("classification_fai-cls-m",
