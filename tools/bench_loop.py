@@ -43,8 +43,11 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int, on_mark
     from focoos_tpu.ports import DatasetSplitType, Task, TrainerArgs
 
     tmp = tempfile.mkdtemp(prefix="benchloop_")
-    # enough distinct images that the mapper actually works per iteration
-    d = make(os.path.join(tmp, "det"), n_train=64, n_val=8, size=max(res, 320))
+    # enough distinct images that the mapper actually works per iteration;
+    # smaller set at small res — dataset gen is pre-first-row setup cost and
+    # the first measured row must land before a tight slice expires
+    n_train = 32 if res <= 320 else 64
+    d = make(os.path.join(tmp, "det"), n_train=n_train, n_val=8, size=max(res, 320))
     auto = AutoDataset(d, Task.DETECTION, "roboflow_coco")
     tr_augs, va_augs = get_default_by_task(Task.DETECTION, resolution=res)
     train_ds = auto.get_split(tr_augs, DatasetSplitType.TRAIN)
@@ -52,7 +55,7 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int, on_mark
 
     model = ModelManager.get("fai-detr-m-coco", num_classes=train_ds.metadata.num_classes,
                              classes=train_ds.metadata.classes, image_size=res, dtype="bfloat16")
-    warm = 4  # first dispatches compile; exclude from the timed window
+    warm = 3  # first dispatches compile; exclude from the timed window
     args = TrainerArgs(
         run_name="benchloop", output_dir=tmp, max_iters=iters + warm, batch_size=bs,
         eval_period=0, log_period=10_000, checkpointer_period=10_000, early_stop=False,
