@@ -88,8 +88,17 @@ def simota_assign_single(
     )
     in_gt = in_gt & gvalid[None]
     in_ct = in_ct & gvalid[None]
+    # reference semantics (loss.py:463-478): a prior is VALID if it sits in
+    # ANY gt box or ANY center region (per-prior union); pairs failing the
+    # strict in-box-AND-center test are SOFT-penalized (+1e5), NOT excluded —
+    # when a gt's dynamic_k exceeds its strict-candidate count, penalized
+    # union priors become positives too. The previous hard mask here
+    # systematically shrank the positive set and starved the keypoint
+    # losses (found by the saturated 1000-step probe: OKS loss converged 2x
+    # higher, −19 keypoint AP vs the torch arm at a ±0.1 chaos floor).
     valid_prior = jnp.any(in_gt | in_ct, axis=1)  # [A]
-    candidate = in_gt & in_ct & valid_prior[:, None]  # [A, N]
+    both = in_gt & in_ct  # [A, N]
+    pair_valid = valid_prior[:, None] & gvalid[None]  # assignable (prior, gt)
 
     iou, _ = box_iou(boxes, gt.boxes)  # [A, N]
     oks = pairwise_oks(kpts, gt.keypoints, gt.keypoints_visible, gt.areas)
@@ -100,15 +109,22 @@ def simota_assign_single(
     bce = -(onehot[None] * jnp.log(s[:, None]) + (1 - onehot[None]) * jnp.log1p(-s[:, None]))
     cls_cost = bce.sum(-1)  # [A, N]
 
-    cost = 3.0 * (-jnp.log(iou + EPS)) + 3.0 * (-jnp.log(oks + EPS)) + 1.0 * cls_cost
-    cost = jnp.where(candidate, cost, INF)
+    soft_penalty = 1e5  # reference INF (loss.py:15) — penalize, don't exclude
+    cost = (
+        3.0 * (-jnp.log(iou + EPS)) + 3.0 * (-jnp.log(oks + EPS)) + 1.0 * cls_cost
+        + jnp.where(both, 0.0, soft_penalty)
+    )
+    cost = jnp.where(pair_valid, cost, INF)
 
-    # dynamic-k from top-10 OKS over candidates (indicator='oks', :606-614)
-    metric = jnp.where(candidate, oks, 0.0)
+    # dynamic-k from top-10 OKS over ALL union-valid priors (indicator='oks',
+    # :606-614 — the reference computes pairwise_oks over valid_mask priors,
+    # not only strict candidates; masking to candidates under-counted k)
+    metric = jnp.where(pair_valid, oks, 0.0)
     topk_metric, _ = jax.lax.top_k(metric.T, min(candidate_topk, a))  # [N, topk]
     dynamic_k = jnp.clip(topk_metric.sum(-1).astype(jnp.int32), 1, candidate_topk)
 
-    # per-gt: mark the dynamic_k cheapest priors
+    # per-gt: mark the dynamic_k cheapest priors (penalized pairs selectable,
+    # truly-invalid INF pairs never)
     neg_cost, idx = jax.lax.top_k(-cost.T, candidate_topk)  # [N, topk]
     rank_ok = jnp.arange(candidate_topk)[None, :] < dynamic_k[:, None]
     picked_ok = rank_ok & (-neg_cost < INF / 2) & gvalid[:, None]
