@@ -384,13 +384,14 @@ def main():
                 # row when its budget is < 240s.
                 slice_s = max(100, remaining() - 40)
             slice_s = min(480, slice_s)
-            # the @640 loop needs ~400 s even with a warm compile cache (the
-            # trainer executable upload over the tunnel dominates, measured
-            # 270 s train-only) — it never fits a driver-day slice after the
-            # headline + train step. 320 is the slice-sized configuration;
-            # the row self-describes (res/batch_size fields) and the @640
-            # numbers live in docs/tpu_design.md from direct tool runs.
-            res = "640" if slice_s >= 450 else "320"
+            # ALWAYS res 320: the @640 loop needs ~400 s with a warm compile
+            # cache (trainer executable upload over the tunnel dominates,
+            # measured 270 s train-only) and died at the full 480 s slice cap
+            # on a cold-cache day (r5, measured) — it never reliably fits ANY
+            # slice. 320 is the slice-sized configuration; the row
+            # self-describes (res/batch_size fields) and the @640 numbers
+            # live in docs/tpu_design.md from direct tool runs.
+            res = "320"
             log(f"loop slice: {slice_s:.0f}s @res {res} (reserve {reserve:.0f}s for tail)")
             cmd = [_sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                                  "tools", "bench_loop.py"),
