@@ -67,6 +67,14 @@ class InferenceSampler:
         return len(self._indices)
 
 
+#: queue sentinel: the sampler is exhausted and every batch has been emitted.
+#: Only crosses in-process thread queues (never a worker pipe). Finite
+#: samplers therefore end the iterator cleanly (torch DataLoader one-epoch
+#: semantics, trailing partial batch included) instead of leaking a
+#: StopIteration out of the producer thread and hanging the consumer.
+_END_OF_STREAM = object()
+
+
 class _Prefetcher:
     """Thread-pool mapper executor feeding an ordered batch queue.
 
@@ -104,17 +112,32 @@ class _Prefetcher:
             while True:
                 if getattr(self, "_closed", False):
                     return
-                idxs = [next(self._sampler_iter) for _ in range(self._batch_size)]
-                entries = list(pool.map(self._dataset.__getitem__, idxs))
+                idxs: List[int] = []
+                exhausted = False
+                for _ in range(self._batch_size):
+                    try:
+                        idxs.append(next(self._sampler_iter))
+                    except StopIteration:  # finite sampler: end the stream
+                        exhausted = True
+                        break
+                entries = list(pool.map(self._dataset.__getitem__, idxs)) if idxs else []
                 if not self._ar_grouping:
-                    self._q.put(self._collate(entries))
-                    continue
-                for e in entries:
-                    b = buckets[0] if self._entry_is_wide(e) else buckets[1]
-                    b.append(e)
-                    if len(b) == self._batch_size:
-                        self._q.put(self._collate(b[:]))
-                        b.clear()
+                    if entries:
+                        self._q.put(self._collate(entries))
+                else:
+                    for e in entries:
+                        b = buckets[0] if self._entry_is_wide(e) else buckets[1]
+                        b.append(e)
+                        if len(b) == self._batch_size:
+                            self._q.put(self._collate(b[:]))
+                            b.clear()
+                if exhausted:
+                    for b in buckets:  # trailing partial ar-group batches
+                        if b:
+                            self._q.put(self._collate(b[:]))
+                            b.clear()
+                    self._q.put(_END_OF_STREAM)
+                    return
 
     def close(self):
         """Stop the producer: set the flag, then drain the queue so a
@@ -133,7 +156,10 @@ class _Prefetcher:
             self._threads.append(t)
             self._started = True
         while True:
-            yield self._q.get()
+            item = self._q.get()
+            if item is _END_OF_STREAM:
+                return
+            yield item
 
 
 class _WorkerFailure:
@@ -199,6 +225,10 @@ class _ProcessPrefetcher:
         self._started = False
         self._closed = False
         self._procs: List[mp.Process] = []
+        # set by the feeder when a FINITE sampler exhausts: total tasks fed.
+        # The producer drains up to this seq, flushes partial batches, and
+        # ends the stream (infinite TrainingSampler never sets it).
+        self._fed_total: int | None = None
 
     def _start(self):
         ctx = mp.get_context(self._start_method)
@@ -227,7 +257,11 @@ class _ProcessPrefetcher:
     def _feeder(self):
         seq = 0
         while not self._closed:
-            idx = next(self._sampler_iter)
+            try:
+                idx = next(self._sampler_iter)
+            except StopIteration:  # finite sampler: hand off to the producer
+                self._fed_total = seq
+                return
             while not self._closed:
                 try:
                     # bounded put, re-checked so close() can stop the feed
@@ -245,7 +279,21 @@ class _ProcessPrefetcher:
         buckets: List[list] = [[], []]
         batch: List = []
         while True:
-            seq, payload = self._result_q.get()
+            if self._fed_total is not None and next_seq >= self._fed_total:
+                # finite sampler done and every fed entry consumed: flush the
+                # trailing partial batch(es), end the stream
+                for b in (buckets if self._ar_grouping else [batch]):
+                    if b:
+                        self._q.put(self._collate(b[:]))
+                        b.clear()
+                self._q.put(_END_OF_STREAM)
+                return
+            try:
+                seq, payload = self._result_q.get(timeout=0.2)
+            except queue.Empty:
+                if self._closed:
+                    return
+                continue
             reorder[seq] = payload
             while next_seq in reorder:
                 entry = reorder.pop(next_seq)
@@ -274,8 +322,8 @@ class _ProcessPrefetcher:
         complete. Workers still alive after the grace window are terminated.
 
         A closed prefetcher CANNOT be iterated again: the feeder/producer
-        daemon threads are left parked on the dead queues — build a new
-        loader for a new epoch/run instead.
+        daemon threads exit on the closed flag (within their 0.2 s poll) and
+        the queues are dead — build a new loader for a new epoch/run instead.
         """
         import time as _time
 
@@ -306,6 +354,9 @@ class _ProcessPrefetcher:
             self._start()
         while True:
             item = self._q.get()
+            if item is _END_OF_STREAM:
+                self.close()  # workers are idle on task_q; reap them
+                return
             if isinstance(item, BaseException):
                 self.close()
                 raise item

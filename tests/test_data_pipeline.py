@@ -388,6 +388,47 @@ def test_process_prefetcher_deterministic_order_and_parity():
     pp.close()
 
 
+def test_prefetchers_end_cleanly_on_finite_sampler():
+    """A FINITE sampler ends the iterator (partial trailing batch included) on
+    both backends — torch DataLoader one-epoch semantics — instead of leaking
+    StopIteration out of the producer/feeder thread and hanging the consumer
+    (production TrainingSampler is infinite; this is the test/custom-sampler
+    contract)."""
+    from focoos_tpu.data.loaders import _Prefetcher, _ProcessPrefetcher
+
+    class Ds:
+        def __getitem__(self, i):
+            return {"idx": i}
+
+    collate = lambda entries: [e["idx"] for e in entries]  # noqa: E731
+
+    # 10 entries / batch 4 -> [0..3], [4..7], [8, 9] then StopIteration
+    for cls in (_Prefetcher, _ProcessPrefetcher):
+        batches = list(cls(Ds(), iter(range(10)), batch_size=4, num_workers=2,
+                           collate=collate))
+        assert batches == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9]], cls.__name__
+
+    # aspect-ratio grouping flushes its trailing partial buckets too
+    class Entry(dict):
+        pass
+
+    def getwh(i):
+        e = Entry(idx=i)
+        e.width = 2 if i % 2 else 1
+        e.height = 1 if i % 2 else 2
+        return e
+
+    class DsAttr:
+        def __getitem__(self, i):
+            return getwh(i)
+
+    batches = list(_Prefetcher(DsAttr(), iter(range(5)), batch_size=2, num_workers=1,
+                               collate=lambda es: sorted(e["idx"] for e in es),
+                               aspect_ratio_grouping=True))
+    assert sorted(sum(batches, [])) == [0, 1, 2, 3, 4]
+    assert all(len(b) <= 2 for b in batches)
+
+
 def test_process_prefetcher_surfaces_worker_failure():
     from focoos_tpu.data.loaders import _ProcessPrefetcher
 
