@@ -381,8 +381,13 @@ def main():
                 # two rounds of scoreboard without a loop number): on a
                 # squeezed day take (almost) everything and let the tail
                 # skip-with-reason; bench_loop itself shrinks to a small-res
-                # row when its budget is < 240s.
-                slice_s = max(100, remaining() - 40)
+                # row when its budget is < 240s. When the calibrated cost says
+                # the tail can't land even one shape anyway (slow-tunnel day),
+                # reserving 40s for it buys nothing — hand those seconds to
+                # the loop's eval rows instead (measured: r5 slow day ended
+                # the loop 9s short of its first eval row).
+                tail_hopeless = cost["per_shape"] > 0.8 * (remaining() - 40)
+                slice_s = max(100, remaining() - (25 if tail_hopeless else 40))
             slice_s = min(480, slice_s)
             # ALWAYS res 320: the @640 loop needs ~400 s with a warm compile
             # cache (trainer executable upload over the tunnel dominates,

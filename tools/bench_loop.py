@@ -34,7 +34,7 @@ T0 = time.monotonic()
 
 
 def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int, on_mark=None,
-                     out=None):
+                     out=None, share=None, n_val: int = 8):
     from make_synthetic_dataset import make
 
     from focoos_tpu.data.auto_dataset import AutoDataset
@@ -47,7 +47,7 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int, on_mark
     # smaller set at small res — dataset gen is pre-first-row setup cost and
     # the first measured row must land before a tight slice expires
     n_train = 32 if res <= 320 else 64
-    d = make(os.path.join(tmp, "det"), n_train=n_train, n_val=8, size=max(res, 320))
+    d = make(os.path.join(tmp, "det"), n_train=n_train, n_val=n_val, size=max(res, 320))
     auto = AutoDataset(d, Task.DETECTION, "roboflow_coco")
     tr_augs, va_augs = get_default_by_task(Task.DETECTION, resolution=res)
     train_ds = auto.get_split(tr_augs, DatasetSplitType.TRAIN)
@@ -55,6 +55,12 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int, on_mark
 
     model = ModelManager.get("fai-detr-m-coco", num_classes=train_ds.metadata.num_classes,
                              classes=train_ds.metadata.classes, image_size=res, dtype="bfloat16")
+    if share is not None:
+        # hand the built model + mapped val split to the eval phase: the
+        # detection eval row is the SAME family/res, so it can skip its own
+        # dataset gen + ModelManager.get (~15-20 s) — the difference between
+        # landing and budget-skipping the first eval row on a slow-tunnel day
+        share["model"], share["val_ds"], share["res"] = model, val_ds, res
     warm = 3  # first dispatches compile; exclude from the timed window
     args = TrainerArgs(
         run_name="benchloop", output_dir=tmp, max_iters=iters + warm, batch_size=bs,
@@ -125,7 +131,7 @@ def bench_train_loop(iters: int, bs: int, res: int, steps_per_call: int, on_mark
 
 
 def bench_eval(res: int, n_images: int = 64, batch_size: int = 8, on_row=None, out=None,
-               remaining=None):
+               remaining=None, share=None):
     from make_synthetic_dataset import make, make_semseg
 
     from focoos_tpu.data.auto_dataset import AutoDataset
@@ -145,19 +151,25 @@ def bench_eval(res: int, n_images: int = 64, batch_size: int = 8, on_row=None, o
         ("semseg", Task.SEMSEG, "roboflow_seg", make_semseg, "bisenetformer-s-ade", {}),
         ("instseg", Task.INSTANCE_SEGMENTATION, "roboflow_coco", make, "fai-mf-s-coco-ins", {}),
     ):
-        if remaining is not None and remaining() < row_cost * 0.8:
+        shared = (tag == "detection" and share is not None and share.get("model") is not None
+                  and share.get("res") == res)
+        est = 35.0 if shared else row_cost  # reuse skips dataset gen + model build
+        if remaining is not None and remaining() < est * 0.8:
             out[tag] = {"skipped": f"budget: {remaining():.0f}s left"}
             if on_row is not None:
                 on_row()
             continue
         t_row = time.monotonic()
-        d = maker(os.path.join(tmp, tag), n_train=4, n_val=n_images, size=max(res, 320))
-        auto = AutoDataset(d, task, layout)
-        _, va_augs = get_default_by_task(task, resolution=res)
-        val_ds = auto.get_split(va_augs, DatasetSplitType.VAL)
-        model = ModelManager.get(name, num_classes=val_ds.metadata.num_classes,
-                                 classes=val_ds.metadata.classes, image_size=res,
-                                 dtype="bfloat16", **kwargs)
+        if shared:
+            model, val_ds = share["model"], share["val_ds"]
+        else:
+            d = maker(os.path.join(tmp, tag), n_train=4, n_val=n_images, size=max(res, 320))
+            auto = AutoDataset(d, task, layout)
+            _, va_augs = get_default_by_task(task, resolution=res)
+            val_ds = auto.get_split(va_augs, DatasetSplitType.VAL)
+            model = ModelManager.get(name, num_classes=val_ds.metadata.num_classes,
+                                     classes=val_ds.metadata.classes, image_size=res,
+                                     dtype="bfloat16", **kwargs)
         # warm the compile outside the timed window
         evaluate_dataset(model, [val_ds[i] for i in range(min(batch_size, len(val_ds)))],
                          batch_size=batch_size)
@@ -166,7 +178,8 @@ def bench_eval(res: int, n_images: int = 64, batch_size: int = 8, on_row=None, o
         dt = time.perf_counter() - t0
         out[tag] = {"eval_ips": round(len(val_ds) / dt, 2), "n": len(val_ds),
                     "batch_size": batch_size, "res": res, "s": round(dt, 2)}
-        row_cost = 0.5 * row_cost + 0.5 * (time.monotonic() - t_row)
+        if not shared:  # a reused row's cost is not representative of the rest
+            row_cost = 0.5 * row_cost + 0.5 * (time.monotonic() - t_row)
         print(f"eval {tag}:", json.dumps(out[tag]), file=sys.stderr, flush=True)
         if on_row is not None:
             on_row()
@@ -215,14 +228,16 @@ def main():
     def emit():
         print(json.dumps(results), flush=True)
 
+    share = {} if which == "all" else None  # train → detection-eval model/dataset reuse
     if which in ("train", "all"):
         results["train_loop"] = {}
-        bench_train_loop(iters, bs, res, k, on_mark=emit, out=results["train_loop"])
+        bench_train_loop(iters, bs, res, k, on_mark=emit, out=results["train_loop"],
+                         share=share, n_val=n_images if share is not None else 8)
         emit()
     if which in ("eval", "all"):
         results["eval"] = {}  # filled row-by-row (shared dict) so each emit sees it
         bench_eval(res, n_images=n_images, out=results["eval"], on_row=emit,
-                   remaining=remaining)
+                   remaining=remaining, share=share)
     emit()
     os._exit(0)
 
