@@ -307,6 +307,27 @@ def main():
         }
         print(json.dumps(out), flush=True)
 
+    # Defense in depth (c): an EXTERNAL deadline kill (`timeout` sends
+    # SIGTERM) must still leave a parseable last line. Without this, a run
+    # stuck inside one long cold compile dies with zero output even though
+    # emit-per-workload is in place (observed: a 1-core-host day where the
+    # first detr-l compile alone outran a 560 s wrapper). The handler stamps
+    # the partial record and exits 0 so the driver records the rows we have.
+    import signal
+
+    def _on_term(signum, frame):
+        workloads["_terminated"] = {
+            "note": f"external signal {signum} at {time.monotonic() - t_start:.0f}s; "
+                    "rows above completed before the kill"}
+        emit()
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+        signal.signal(signal.SIGINT, _on_term)
+    except (ValueError, OSError):
+        pass  # non-main thread / restricted env: emit-per-workload still holds
+
     # Adaptive cost model: the dominant cost is one XLA compile per
     # (model, batch-shape) program — ~10-130s each depending on whether the
     # persistent compile cache is warm. Calibrated from the headline workload
